@@ -129,7 +129,10 @@ def updated_mask(ids: np.ndarray) -> np.ndarray:
 
 
 def _pick(arr_hash: np.ndarray, options: list) -> list:
-    return [options[int(h % len(options))] for h in arr_hash]
+    # NB: modulo must stay vectorized — scalar np.uint64 % python int
+    # promotes to float64 and corrupts the index.
+    idx = (arr_hash % np.uint64(len(options))).astype(np.int64)
+    return [options[i] for i in idx]
 
 
 def _detail_row_fields(ids: np.ndarray, seed: int, wave: int) -> dict:
@@ -275,12 +278,20 @@ def _jobposting_json(f: dict, i: int, idx: int, url: str, desc: str) -> str:
         jp["baseSalary"] = {"@type": "MonetaryAmount", "currency": "VND",
                             "value": {"@type": "QuantitativeValue", "value": "Thỏa thuận"}}
     # v == 3: absent
-    return json.dumps(jp, ensure_ascii=False)
+    return _json_marshal(jp)
 
 
-_ORG_BLOB = json.dumps({"@context": "https://schema.org", "@type": "Organization",
-                        "name": "Noise Org", "url": "https://noise.example.vn"},
-                       ensure_ascii=False)
+def _json_marshal(obj) -> str:
+    """json.dumps with Go encoding/json HTML-escaping (<, >, & become
+    \\u003c/\\u003e/\\u0026), so embedded '</script>' in descriptions
+    cannot break out of the ld+json script element — matching how real
+    JSON-LD is emitted server-side."""
+    return (json.dumps(obj, ensure_ascii=False)
+            .replace("<", "\\u003c").replace(">", "\\u003e").replace("&", "\\u0026"))
+
+
+_ORG_BLOB = ('{"@context": "https://schema.org", "@type": "Organization", '
+             '"name": "Noise Org", "url": "https://noise.example.vn"}')
 
 
 def detail_url(host: str, slug: str, i: int) -> str:
@@ -312,7 +323,7 @@ def gen_detail_chunk(ids: np.ndarray, seed: int = 42, wave: int = 1) -> pd.DataF
                                  bool(f["upd"][idx]), wave)
         jp = _jobposting_json(f, i, idx, url, desc)
         org = f"\n<script type=\"application/ld+json\">{_ORG_BLOB}</script>" \
-            if f["h_noise"][idx] % 5 == 0 else ""
+            if int(f["h_noise"][idx]) % 5 == 0 else ""
         html = (
             "<!DOCTYPE html><html><head>"
             f"<link rel=\"canonical\" href=\"{url}\">"
