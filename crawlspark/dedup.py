@@ -1,0 +1,298 @@
+"""Dedup / membership / change detection (SURVEY §2.3 — the engine's heart).
+
+Re-expresses the reference's Redis-keyed state machine
+(internal/common/dedup/deduplicator.go) as joins over a salted,
+snapshot-committed ``seen`` table, plus a partitioned bloom-filter fast
+path and simhash near-dup detection (north_rule upgrades).
+
+Scale design (10^10-URL frontier):
+- The per-job Redis round-trip (deduplicator.go:49-67, the reference's
+  scalability ceiling) becomes ONE shuffle: candidates LEFT JOIN seen
+  on (source, id).
+- ``seen`` is salted by xxhash64(host) % n_salts so one hot domain
+  (Zipf top host owns ~30% of URLs) spreads over n_salts buckets in
+  the membership layer; politeness grouping stays keyed by TRUE host
+  (frontier.py) — salting only where skew hurts, never where semantics
+  need the real key.
+- Bloom fast path: per-salt blooms built distributively with
+  applyInPandas and broadcast to probe candidates; misses are
+  definitively NEW and skip the join entirely. At 10^10 keys and 10
+  bits/key this is ~12.5 GB total across 256 salts => ~50 MB per salt
+  bucket, each broadcastable where the candidate partition needs it.
+- TTL without Redis: lazy expiry — reads filter expires_at >= now;
+  a compaction wave physically drops expired rows (same observable
+  semantics as Redis per-key TTL, deduplicator.go:76-84).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_SALTS = 16
+
+STATUS_NEW = "NEW"
+STATUS_UPDATED = "UPDATED"
+STATUS_UNCHANGED = "UNCHANGED"
+
+
+def salt_of(host: Column, n_salts: int = N_SALTS) -> Column:
+    """Membership-layer salt (north_rule): xxhash64(host) % n_salts."""
+    return F.pmod(F.xxhash64(host), F.lit(n_salts)).cast("int")
+
+
+def url_hash(source: Column, id_: Column) -> Column:
+    """64-bit key hash of the reference's Redis key
+    '{prefix}:{source}:{id}' (deduplicator.go:123-125)."""
+    return F.xxhash64(F.concat_ws(":", source, id_))
+
+
+def seen_live(seen: DataFrame, now: Column | None = None) -> DataFrame:
+    """Lazy TTL expiry: rows past expires_at read as unseen
+    (Redis TTL equivalence, deduplicator.go:76-84)."""
+    now = F.current_timestamp() if now is None else now
+    return seen.filter(F.col("expires_at").isNull() | (F.col("expires_at") > now))
+
+
+def classify(candidates: DataFrame, seen: DataFrame,
+             now: Column | None = None) -> DataFrame:
+    """D1 three-way change detection (deduplicator.go:49-67):
+    missing -> NEW; stored != last_updated_on -> UPDATED; else UNCHANGED.
+
+    candidates: needs (source, id, last_updated_on). Adds ``status``.
+    One left join replaces one Redis GET per job.
+    """
+    s = (seen_live(seen, now)
+         .select("source", "id", F.col("last_updated_on").alias("_seen_val")))
+    joined = candidates.join(s, ["source", "id"], "left")
+    return joined.withColumn(
+        "status",
+        F.when(F.col("_seen_val").isNull(), F.lit(STATUS_NEW))
+        .when(F.col("_seen_val") != F.col("last_updated_on"), F.lit(STATUS_UPDATED))
+        .otherwise(F.lit(STATUS_UNCHANGED)),
+    ).drop("_seen_val")
+
+
+def expires_at_expr(expired_on: Column, now: Column | None = None,
+                    default_ttl_days: int = 30) -> Column:
+    """D2 TTL arithmetic (deduplicator.go:72-89): ttl = until(expired_on);
+    if <= 0 use default 30d; then +24h buffer."""
+    now = F.current_timestamp() if now is None else now
+    base = F.when(expired_on > now, expired_on).otherwise(
+        now + F.make_interval(days=F.lit(default_ttl_days)))
+    return base + F.make_interval(days=F.lit(1))
+
+
+def mark_seen(seen: DataFrame, emitted: DataFrame,
+              now: Column | None = None, default_ttl_days: int = 30,
+              n_salts: int = N_SALTS) -> DataFrame:
+    """D2 MarkSeenWithTTL as a keyed MERGE (last-write-wins on
+    (source,id)) — publish-before-mark ordering is enforced by the
+    caller committing frontier and seen in ONE snapshot (at-least-once
+    of publisher.go:30-83 becomes exactly-once under atomic commit).
+
+    emitted: (source, id, host, last_updated_on[, expired_on timestamp]).
+    """
+    cols = ["source", "id", "url_hash", "last_updated_on", "expires_at", "salt"]
+    exp = F.col("expired_on") if "expired_on" in emitted.columns \
+        else F.lit(None).cast("timestamp")
+    new_rows = emitted.select(
+        "source", "id",
+        url_hash(F.col("source"), F.col("id")).alias("url_hash"),
+        F.col("last_updated_on"),
+        expires_at_expr(exp, now, default_ttl_days).alias("expires_at"),
+        salt_of(F.col("host"), n_salts).alias("salt"),
+    )
+    kept = seen.join(new_rows.select("source", "id"), ["source", "id"], "left_anti")
+    return kept.select(*cols).unionByName(new_rows.select(*cols))
+
+
+def content_hash(col: Column) -> Column:
+    """D4 (deduplicator.go:127-130): sha256, first 16 bytes as 32 hex chars.
+    Built-in — no UDF."""
+    return F.substring(F.sha2(col, 256), 1, 32)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                key_col: str = "url") -> DataFrame:
+    """Content-hash exact dedup: keep the minimum-key row per content
+    hash (deterministic winner), one hash-aggregate shuffle."""
+    h = content_hash(F.col(text_col)).alias("_chash")
+    winners = (df.select(h, F.col(key_col).alias("_k"))
+                 .groupBy("_chash").agg(F.min("_k").alias(key_col)))
+    return df.join(winners, key_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Bloom fast path (D1 pre-filter)
+# ---------------------------------------------------------------------------
+def bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m bits, k hashes) for n keys at target false-positive rate."""
+    n = max(n, 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """k positions per key via double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher); vectorized, deterministic."""
+    h = hashes.astype(np.uint64)
+    h1 = h
+    h2 = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    h2 = h2 | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)).astype(np.int64)
+
+
+def build_blooms(seen: DataFrame, fpp: float = 0.01,
+                 n_salts: int = N_SALTS) -> pd.DataFrame:
+    """Build one bloom per salt bucket, distributively
+    (groupBy(salt).applyInPandas), then collect the small (salt, bits)
+    table to the driver for broadcast. Scale path: per-bucket blooms
+    stay bounded because salting splits hot hosts."""
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf["url_hash"].to_numpy()
+        m, k = bloom_params(len(hashes), fpp)
+        bits = np.zeros(m // 64, dtype=np.uint64)
+        pos = _bloom_positions(hashes, m, k).ravel()
+        np.bitwise_or.at(bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+        return pd.DataFrame({"salt": [int(pdf["salt"].iloc[0])], "m": [m],
+                             "k": [k], "bits": [bits.tobytes()]})
+
+    out = (seen.select("salt", "url_hash")
+           .groupBy("salt")
+           .applyInPandas(build, schema="salt int, m long, k int, bits binary"))
+    return out.toPandas()
+
+
+def bloom_might_contain(candidates: DataFrame, blooms: pd.DataFrame,
+                        hash_col: str = "url_hash",
+                        salt_col: str = "salt") -> DataFrame:
+    """Adds ``might_contain`` (false => definitively NEW, skip the join).
+    The bloom table is broadcast inside the pandas UDF closure."""
+    lut = {int(r["salt"]): (np.frombuffer(r["bits"], dtype=np.uint64),
+                            int(r["m"]), int(r["k"]))
+           for _, r in blooms.iterrows()}
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def probe(hashes: pd.Series, salts: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=bool)
+        hs = hashes.to_numpy()
+        ss = salts.to_numpy()
+        for salt in np.unique(ss):
+            entry = lut.get(int(salt))
+            mask = ss == salt
+            if entry is None:
+                continue  # empty bucket: stays False (definitively new)
+            bits, m, k = entry
+            pos = _bloom_positions(hs[mask].astype(np.uint64), m, k)
+            hit = np.ones(mask.sum(), dtype=bool)
+            for row in pos:
+                hit &= (bits[row // 64] >> (row % 64).astype(np.uint64)) & np.uint64(1) != 0
+            out[mask] = hit
+        return pd.Series(out)
+
+    return candidates.withColumn("might_contain",
+                                 probe(F.col(hash_col), F.col(salt_col)))
+
+
+def classify_with_bloom(candidates: DataFrame, seen: DataFrame,
+                        blooms: pd.DataFrame,
+                        now: Column | None = None) -> DataFrame:
+    """D1 with the bloom pre-filter: bloom misses short-circuit to NEW
+    without joining; only possible hits shuffle into the seen join."""
+    cand = candidates.withColumn(
+        "url_hash", url_hash(F.col("source"), F.col("id"))
+    ).withColumn("salt", salt_of(F.col("host")))
+    cand = bloom_might_contain(cand, blooms)
+    misses = (cand.filter(~F.col("might_contain"))
+                  .withColumn("status", F.lit(STATUS_NEW)))
+    hits = classify(cand.filter(F.col("might_contain")), seen, now)
+    return misses.unionByName(hits).drop("might_contain")
+
+
+# ---------------------------------------------------------------------------
+# D5 simhash near-dup (north_rule upgrade; reference is exact-hash only)
+# ---------------------------------------------------------------------------
+def simhash64_py(text: str | None) -> int:
+    """64-bit simhash: whitespace-tokenize lower(text); per-token 64-bit
+    hash = first 16 hex chars of md5 (md5 chosen so the DuckDB oracle
+    can reproduce it in SQL); signed bit-vote; sign -> bits.
+    Returns a signed int64 (Spark LongType)."""
+    import hashlib
+
+    if not text:
+        return 0
+    tokens = text.lower().split()
+    if not tokens:
+        return 0
+    votes = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        votes += np.where(bits == 1, 1, -1)
+    v = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_simhash_udf = None
+
+
+def simhash_udf():
+    global _simhash_udf
+    if _simhash_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def simhash64(texts: pd.Series) -> pd.Series:
+            return pd.Series([simhash64_py(t) for t in texts], dtype="int64")
+
+        _simhash_udf = simhash64
+    return _simhash_udf
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      key_col: str = "url", bands: int = 4,
+                      max_hamming: int = 3) -> DataFrame:
+    """Banded simhash near-dup pairs: split the 64-bit simhash into
+    `bands` 16-bit bands; candidate pairs share >=1 band (pigeonhole:
+    hamming<=3 over 4 bands guarantees one identical band); verify
+    hamming distance on the full hash. Returns (key_a, key_b, hamming).
+
+    Scale: the groupBy(band, band_val) shuffle is the only wide op;
+    intra-bucket pairing is bounded by bucket size (hot buckets can be
+    additionally length-salted upstream if text duplication is extreme).
+    """
+    sh = simhash_udf()
+    base = df.select(F.col(key_col).alias("k"), sh(F.col(text_col)).alias("sh"))
+    band_width = 64 // bands
+    mask = (1 << band_width) - 1
+    bands_df = base.select(
+        "k", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("sh"), b * band_width)
+                     .bitwiseAND(F.lit(mask)).alias("val"))
+            for b in range(bands)
+        ])).alias("bv"),
+    ).select("k", "sh", "bv.band", "bv.val")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.val") == F.col("b.val"))
+                    & (F.col("a.k") < F.col("b.k")))
+             .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"),
+                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.withColumn("hamming", hamming)
+                 .filter(F.col("hamming") <= max_hamming)
+                 .select("key_a", "key_b", "hamming"))

@@ -1,0 +1,60 @@
+"""Priority frontier (SURVEY §2.7 P7): the reference's Redis FIFO list
+re-expressed as explicit order columns + partition-local sort.
+
+The reference's ordering contract is LPUSH/BRPOP FIFO by (wave, page,
+rank) (internal/queue/publisher.go:36, consumer.go:38, list page order
+vieclam24h/crawler.go:73-93). Spark shuffles destroy storage order, so
+order is data: ``priority DESC, wave, page, rank`` — priority constant
+=> pure reference FIFO; the north_rule's priority term
+(depth x host_rank x recrawl_age) refines it without breaking the
+tie-break.
+
+Scale: repartition by SALTED host so the Zipf-hot host spreads across
+partitions for the fetch/extract work, then sortWithinPartitions — a
+total global sort is never needed because the politeness scheduler
+(politeness.py) re-groups by TRUE host anyway; cross-host order is
+irrelevant to the crawl contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def order_cols() -> list[Column]:
+    """The crawl-order sort key: priority DESC, then reference FIFO."""
+    return [F.col("priority").desc(), F.col("wave").asc(),
+            F.col("page").asc_nulls_last(), F.col("rank").asc_nulls_last(),
+            F.col("url").asc()]
+
+
+def host_of(url: Column) -> Column:
+    """Canonical host from url — built-in parse_url, no UDF."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def priority_expr(depth: Column, host_rank: Column,
+                  recrawl_age_hours: Column | None = None) -> Column:
+    """north_rule priority = f(depth, host_rank, recrawl_age):
+    rank shrinks geometrically with depth, grows with staleness."""
+    age = recrawl_age_hours if recrawl_age_hours is not None else F.lit(0.0)
+    return (F.coalesce(host_rank, F.lit(0.5)) / (F.lit(1.0) + depth)
+            * (F.lit(1.0) + age / F.lit(24.0)))
+
+
+def order_frontier(frontier: DataFrame, num_partitions: int = 32,
+                   n_salts: int = 16) -> DataFrame:
+    """Partition by salted host, FIFO-sort within partitions."""
+    salted = F.pmod(F.xxhash64(F.col("host")), F.lit(n_salts))
+    return (frontier.repartition(num_partitions, salted)
+            .sortWithinPartitions(*order_cols()))
+
+
+def crawl_sequence(frontier: DataFrame) -> DataFrame:
+    """Materialize the global crawl order as an explicit ``seq`` column
+    (golden_order checks, FIXTURES.md §7). Uses a global window — test/
+    audit path only; the engine itself never needs a total order."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*order_cols())
+    return frontier.withColumn("seq", F.row_number().over(w))

@@ -1,0 +1,98 @@
+"""TableFormat seam: snapshot-committed tables (SURVEY §7 storage note).
+
+Production path is Iceberg (`spark.read.format("iceberg")`, `MERGE
+INTO`, snapshot time travel) — that is configuration, not code. This
+sandbox has no Iceberg runtime jar, so ``SnapshotStore`` implements the
+same *observable* semantics on plain Parquet + an atomically-swapped
+JSON manifest:
+
+- **Atomic multi-table commit**: a wave commits frontier + seen +
+  jobs + lineage in ONE manifest swap (os.replace is atomic on POSIX).
+  A crash mid-write leaves orphan data dirs that no manifest
+  references — invisible, exactly like an uncommitted Iceberg
+  snapshot.
+- **Snapshot isolation / time travel**: every commit is a new
+  snapshot id; readers name a snapshot or take the latest.
+- **Resume-from-checkpoint** (north_rule, reference analogue: Redis
+  AOF persistence, docker-compose.yml:30): restart reads the last
+  committed snapshot and continues; the kill-resume test pins this.
+
+Tables not rewritten by a commit carry forward by reference (the
+manifest points at the previous snapshot's directory) — no data copy,
+like Iceberg manifests reusing unchanged data files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._manifest_path = self.root / "_manifest.json"
+
+    # -- manifest ---------------------------------------------------------
+    def _read_manifest(self) -> dict:
+        if not self._manifest_path.exists():
+            return {"snapshots": []}
+        return json.loads(self._manifest_path.read_text())
+
+    def snapshots(self) -> list[dict]:
+        return self._read_manifest()["snapshots"]
+
+    def latest(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def latest_wave(self) -> int | None:
+        s = self.latest()
+        return None if s is None else s["wave"]
+
+    # -- read -------------------------------------------------------------
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: int | None = None) -> DataFrame | None:
+        """Read a table at a snapshot (default: latest). None if absent."""
+        snaps = self.snapshots()
+        if snapshot_id is not None:
+            snaps = [s for s in snaps if s["sid"] == snapshot_id]
+        for s in reversed(snaps):
+            if table in s["tables"]:
+                return spark.read.parquet(str(self.root / s["tables"][table]))
+        return None
+
+    # -- commit -----------------------------------------------------------
+    def commit(self, wave: int, tables: dict[str, DataFrame],
+               partition_by: dict[str, list[str]] | None = None) -> int:
+        """Write `tables`, then atomically publish a new snapshot that
+        includes them plus every carried-forward table from the previous
+        snapshot. Returns the new snapshot id."""
+        manifest = self._read_manifest()
+        prev = manifest["snapshots"][-1] if manifest["snapshots"] else None
+        sid = (prev["sid"] + 1) if prev else 1
+
+        entry_tables: dict[str, str] = dict(prev["tables"]) if prev else {}
+        for name, df in tables.items():
+            rel = f"data/{sid}/{name}"
+            writer = df.write.mode("overwrite")
+            for col in (partition_by or {}).get(name, []):
+                writer = writer.partitionBy(col)
+            writer.parquet(str(self.root / rel))
+            entry_tables[name] = rel
+
+        manifest["snapshots"].append({
+            "sid": sid,
+            "wave": wave,
+            "tables": entry_tables,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        })
+        tmp = self._manifest_path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, self._manifest_path)  # the atomic commit point
+        return sid

@@ -1,0 +1,145 @@
+"""Dedup state machine, TTL arithmetic, blooms, content hash, simhash."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crawlspark import dedup as D
+
+
+def _seen(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["source", "id", "url_hash",
+                                      "last_updated_on", "expires_at", "salt"])
+    pdf["expires_at"] = pd.to_datetime(pdf["expires_at"])
+    return spark.createDataFrame(pdf)
+
+
+def _cands(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "id", "host", "last_updated_on"]))
+
+
+def _now():
+    return F.to_timestamp(F.lit("2026-01-10 00:00:00"))
+
+
+class TestClassify:
+    def test_three_way(self, spark):
+        # deduplicator.go:49-67 state machine
+        seen = _seen(spark, [
+            ("s", "1", 0, "100", "2026-02-01", 0),   # live, same value
+            ("s", "2", 0, "100", "2026-02-01", 0),   # live, older value
+            ("s", "3", 0, "100", "2025-12-31", 0),   # EXPIRED -> reads as unseen
+        ])
+        cands = _cands(spark, [
+            ("s", "1", "h", "100"),   # UNCHANGED
+            ("s", "2", "h", "200"),   # UPDATED
+            ("s", "3", "h", "100"),   # NEW (ttl expired)
+            ("s", "4", "h", "100"),   # NEW (never seen)
+        ])
+        got = {r["id"]: r["status"]
+               for r in D.classify(cands, seen, _now()).collect()}
+        assert got == {"1": "UNCHANGED", "2": "UPDATED", "3": "NEW", "4": "NEW"}
+
+    def test_with_bloom_equivalence(self, spark):
+        """Bloom path must classify identically to the plain join."""
+        seen_rows = [("s", str(i), 0, "100", "2026-02-01", 0) for i in range(50)]
+        seen = _seen(spark, seen_rows)
+        seen = seen.withColumn("url_hash", D.url_hash(F.col("source"), F.col("id"))) \
+                   .withColumn("salt", D.salt_of(F.col("id")))
+        cands = _cands(spark, [("s", str(i), str(i), "100" if i % 2 else "200")
+                               for i in range(0, 100)])
+        cands = cands.withColumn("salt_src", F.col("id"))
+        plain = D.classify(
+            cands.withColumn("url_hash", D.url_hash(F.col("source"), F.col("id")))
+                 .withColumn("salt", D.salt_of(F.col("id"))),
+            seen, _now())
+        blooms = D.build_blooms(seen)
+        # classify_with_bloom salts by host; align by making host==id
+        got = D.classify_with_bloom(
+            cands.withColumn("host", F.col("id")), seen, blooms, _now())
+        want = {r["id"]: r["status"] for r in plain.collect()}
+        have = {r["id"]: r["status"] for r in got.collect()}
+        assert want == have
+
+    def test_bloom_prunes_misses(self, spark):
+        seen = _seen(spark, [("s", "1", 0, "100", "2026-02-01", 0)])
+        seen = seen.withColumn("url_hash", D.url_hash(F.col("source"), F.col("id"))) \
+                   .withColumn("salt", D.salt_of(F.col("id")))
+        blooms = D.build_blooms(seen)
+        cands = (_cands(spark, [("s", str(i), str(i), "100") for i in range(2, 500)])
+                 .withColumn("url_hash", D.url_hash(F.col("source"), F.col("id")))
+                 .withColumn("salt", D.salt_of(F.col("id"))))
+        probed = D.bloom_might_contain(cands, blooms)
+        frac_hit = probed.filter("might_contain").count() / probed.count()
+        assert frac_hit < 0.05  # ~fpp, far below 1.0
+
+
+class TestMarkSeen:
+    def test_ttl_arithmetic(self, spark):
+        # deduplicator.go:72-89: future expired_on -> expired_on + 1d;
+        # past/absent -> now + 30d + 1d
+        from crawlspark.schemas import SEEN_SCHEMA
+        seen = spark.createDataFrame([], SEEN_SCHEMA)
+        emitted = spark.createDataFrame(pd.DataFrame({
+            "source": ["s", "s"],
+            "id": ["a", "b"],
+            "host": ["h1", "h2"],
+            "last_updated_on": ["1", "2"],
+            "expired_on": [pd.Timestamp("2026-03-01"), pd.Timestamp("2025-01-01")],
+        }))
+        got = {r["id"]: r for r in D.mark_seen(seen, emitted, _now()).collect()}
+        assert str(got["a"]["expires_at"]) == "2026-03-02 00:00:00"
+        assert str(got["b"]["expires_at"]) == "2026-02-10 00:00:00"  # now+31d
+
+    def test_merge_last_write_wins(self, spark):
+        seen = _seen(spark, [("s", "1", 0, "old", "2026-02-01", 0),
+                             ("s", "2", 0, "keep", "2026-02-01", 0)])
+        emitted = spark.createDataFrame(pd.DataFrame({
+            "source": ["s"], "id": ["1"], "host": ["h"], "last_updated_on": ["new"],
+        }))
+        got = {r["id"]: r["last_updated_on"]
+               for r in D.mark_seen(seen, emitted, _now()).collect()}
+        assert got == {"1": "new", "2": "keep"}
+
+
+class TestContentHash:
+    def test_matches_reference_shape(self, spark):
+        # sha256 first 16 bytes hex = 32 chars (deduplicator.go:127-130)
+        df = spark.createDataFrame([("hello",)], "t string")
+        h = df.select(D.content_hash(F.col("t")).alias("h")).first()["h"]
+        import hashlib
+        assert h == hashlib.sha256(b"hello").hexdigest()[:32]
+
+    def test_exact_dedup(self, spark):
+        df = spark.createDataFrame(
+            [("u1", "same"), ("u2", "same"), ("u3", "other")], "url string, text string")
+        kept = sorted(r["url"] for r in D.exact_dedup(df).collect())
+        assert kept == ["u1", "u3"]  # min-key winner deterministic
+
+
+class TestSimhash:
+    def test_identical_and_near(self, spark):
+        t1 = "python spark dedup engine for web pages at scale"
+        t2 = "python spark dedup engine for web pages at scale!"  # 1 token differs
+        t3 = "hoàn toàn khác biệt nội dung tiếng việt riêng"
+        a, b, c = (D.simhash64_py(t) for t in (t1, t2, t3))
+        assert a == D.simhash64_py(t1)  # deterministic
+        ham_ab = bin((a ^ b) & (2**64 - 1)).count("1")
+        ham_ac = bin((a ^ c) & (2**64 - 1)).count("1")
+        assert ham_ab < ham_ac
+
+    def test_near_dup_pairs(self, spark):
+        rows = [("a", "spark engine web crawl dedup pipeline batch wave"),
+                ("b", "spark engine web crawl dedup pipeline batch wave"),
+                ("c", "a completely different document about cooking recipes")]
+        df = spark.createDataFrame(rows, "url string, text string")
+        pairs = D.simhash_near_dups(df, max_hamming=3).collect()
+        assert len(pairs) == 1
+        assert (pairs[0]["key_a"], pairs[0]["key_b"]) == ("a", "b")
+        assert pairs[0]["hamming"] == 0
+
+    def test_udf_matches_py(self, spark):
+        texts = ["one two three", "", None, "Xin chào thế giới"]
+        df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+        got = [r["s"] for r in df.select(D.simhash_udf()(F.col("t")).alias("s")).collect()]
+        assert got == [D.simhash64_py(t) for t in texts]
