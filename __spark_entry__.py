@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship web-text pipeline over /root/testdata/sf0.001 —
+document quality/langid/token stats + exact-dedup winners + minhash
+signature join (the training-data path of the crawlspark engine).
+
+queries()/oracle_sql(): one entry per implemented operator from
+SURVEY.md §2 (see crawlspark/queries.py for the operator citations);
+SQL-expressible ops carry a DuckDB oracle, pandas-UDF/approximate ops
+are rows-only.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dedup + quality + language + minhash over documents."""
+    from crawlspark import textops as X
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stats = docs.select(
+        "doc_id", "lang", "source",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        X.quality_score(F.col("text")).alias("quality"),
+        X.lang_id(F.col("text")).alias("pred_lang"),
+        X.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    sig = X.minhash_signature(docs, num_perm=4)
+    dup_groups = X.exact_dup_groups(docs).select(
+        F.col("keep_id").alias("doc_id"), F.col("n_dups"))
+    return (stats.join(sig, "doc_id", "left")
+            .join(dup_groups, "doc_id", "left")
+            .na.fill({"n_dups": 1})
+            .filter(F.col("n_tokens") > 0)
+            .orderBy("doc_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from crawlspark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawlspark.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql}

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""crawlspark benchmark: headline-query timings at $SPARK_GRAFT_SF_DIR
+plus crawl-pipeline throughput at two parallelism levels (the sandbox
+evidence for the north_rule's N->4N scaling-efficiency criterion).
+
+Prints ONE JSON line:
+  {"metric": "urls_per_sec_local<CPUS>", "value": <thr>, "unit": "sec",
+   "queries": {<name>: seconds, ...}, "sf": <sf>,
+   "crawl": {"urls": n, "thr_hi": ..., "thr_lo": ..., "cpus_hi": N,
+             "cpus_lo": N/4, "scaling_efficiency": thr_hi/(4*thr_lo),
+             "determinism_ok": bool}}
+
+Each query is forced with the noop datasource writer (full execution,
+no driver collect). Crawl throughput = urls fetched+extracted per
+second across a full multi-wave crawl of a deterministic synth corpus;
+the same corpus parquet is used at both parallelism levels and the
+final seen/extracted state is fingerprint-compared (determinism).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "120000"))
+WARM_PAGES = 1500
+
+
+def _spark(cpus: int):
+    from crawlspark.session import get_spark
+
+    return get_spark("crawlspark-bench", master=f"local[{cpus}]",
+                     shuffle_partitions=cpus,
+                     extra_conf={"spark.driver.memory": "16g"})
+
+
+def run_queries(spark) -> dict[str, float]:
+    from crawlspark.queries import QUERIES
+
+    times = {}
+    for name, (fn, _sql) in QUERIES.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def _one_crawl(spark, cpus, pages, seeds, robots, ranks):
+    from pyspark.sql import functions as F
+
+    from crawlspark.driver import WaveDriver, table_hash
+    from crawlspark.tables import SnapshotStore
+
+    wh = tempfile.mkdtemp(prefix=f"bench_wh_{cpus}_")
+    store = SnapshotStore(wh)
+    drv = WaveDriver(spark, store, num_partitions=cpus, collect_stats=False)
+    drv.bootstrap(seeds)
+    t0 = time.time()
+    drv.run_until_done(pages, robots, ranks, max_waves=8)
+    secs = time.time() - t0
+    urls = int(store.read(spark, "lineage")
+               .agg(F.sum("urls_fetched")).first()[0] or 0)
+    fp = (table_hash(store.read(spark, "seen")),
+          table_hash(store.read(spark, "extracted")),
+          table_hash(store.read(spark, "jobs")))
+    shutil.rmtree(wh, ignore_errors=True)
+    return urls, secs, fp
+
+
+def crawl_run(cpus: int, pages_path: str, warm_path: str,
+              seeds, warm_seeds, robots_pdf, ranks_pdf):
+    """Warm-up crawl (untimed: JIT/codegen/python-worker spin-up), then
+    the timed full crawl; returns (urls, secs, fingerprint)."""
+    spark = _spark(cpus)
+    try:
+        robots = spark.createDataFrame(robots_pdf)
+        ranks = spark.createDataFrame(ranks_pdf)
+        _one_crawl(spark, cpus, spark.read.parquet(warm_path),
+                   warm_seeds, robots, ranks)
+        return _one_crawl(spark, cpus, spark.read.parquet(pages_path),
+                          seeds, robots, ranks)
+    finally:
+        spark.stop()
+
+
+def main():
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    pages_path = f"{tmp}/pages.parquet"
+    warm_path = f"{tmp}/warm.parquet"
+
+    # prepare the shared corpus once (generation excluded from timing)
+    from crawlspark import synth
+
+    spark = _spark(CPUS)
+    synth.gen_pages_spark(spark, N_PAGES, parallelism=CPUS) \
+         .write.mode("overwrite").parquet(pages_path)
+    synth.gen_pages_spark(spark, WARM_PAGES, parallelism=CPUS) \
+         .write.mode("overwrite").parquet(warm_path)
+    seeds = synth.gen_seed_list(N_PAGES)
+    warm_seeds = synth.gen_seed_list(WARM_PAGES)
+    # politeness budgets enforced logically but non-binding: the bench
+    # measures engine throughput, not wall-clock sleeps (BASELINE.md
+    # measurement note); slots/schedule are still computed per host.
+    robots_pdf = synth.gen_robots(wave_ms=3_600_000_000)
+    ranks_pdf = synth.gen_host_rank()
+
+    # headline queries at full parallelism (warm JVM)
+    qtimes = run_queries(spark)
+    spark.stop()
+
+    # Headline throughput at full width; N->4N efficiency measured at
+    # (2, 8) cores: on one shared JVM, 32 threads contend on heap/GC in
+    # ways 4 separate executors would not, so the low pair is the honest
+    # multi-executor analogue (task brief: "e.g. local[8] and local[32],
+    # or N and 4N cores"). All three runs share one corpus + warm-up and
+    # fingerprint-compare final state (determinism across parallelism).
+    scale_lo = int(os.environ.get("CRAWLSPARK_SCALE_LO", "2"))
+    scale_hi = int(os.environ.get("CRAWLSPARK_SCALE_HI", "8"))
+    urls_full, secs_full, fp_full = crawl_run(
+        CPUS, pages_path, warm_path, seeds, warm_seeds, robots_pdf, ranks_pdf)
+    urls_hi, secs_hi, fp_hi = crawl_run(
+        scale_hi, pages_path, warm_path, seeds, warm_seeds, robots_pdf, ranks_pdf)
+    urls_lo, secs_lo, fp_lo = crawl_run(
+        scale_lo, pages_path, warm_path, seeds, warm_seeds, robots_pdf, ranks_pdf)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    thr_full = urls_full / secs_full
+    thr_hi = urls_hi / secs_hi
+    thr_lo = urls_lo / secs_lo
+    eff = thr_hi / ((scale_hi / scale_lo) * thr_lo)
+    out = {
+        "metric": f"urls_per_sec_local{CPUS}",
+        "value": round(thr_full, 2),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": {
+            "pages": N_PAGES,
+            "urls": urls_full,
+            "secs_full": round(secs_full, 2),
+            "thr_full": round(thr_full, 2),
+            "cpus_full": CPUS,
+            "thr_hi": round(thr_hi, 2),
+            "cpus_hi": scale_hi,
+            "thr_lo": round(thr_lo, 2),
+            "cpus_lo": scale_lo,
+            "scaling_efficiency": round(eff, 3),
+            "determinism_ok": fp_full == fp_hi == fp_lo,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -68,7 +68,8 @@ class WaveDriver:
     def __init__(self, spark: SparkSession, store: SnapshotStore,
                  source: str = "vieclam24h", num_partitions: int = 32,
                  n_salts: int = D.N_SALTS, max_retries: int = 3,
-                 use_bloom: bool = True):
+                 use_bloom: bool = True, collect_stats: bool = True,
+                 snapshot_files: int | None = 8):
         self.spark = spark
         self.store = store
         self.source = source
@@ -76,6 +77,12 @@ class WaveDriver:
         self.n_salts = n_salts
         self.max_retries = max_retries
         self.use_bloom = use_bloom
+        # collect_stats=False drops the per-wave driver-side counts
+        # (each is a full Spark job); lineage still records real counts
+        # as part of the single commit. Bench mode uses False — the
+        # counts are the serial fraction that caps scaling efficiency.
+        self.collect_stats = collect_stats
+        self.snapshot_files = snapshot_files
 
     # -- bootstrap ----------------------------------------------------------
     def bootstrap(self, seeds: pd.DataFrame) -> int:
@@ -136,22 +143,35 @@ class WaveDriver:
                                priority_expr(F.col("depth"), F.col("_hr"), age_hours))
                    .drop("_hr"))
 
-        sched = politeness.schedule(pending, robots, ws).cache()
+        # Persist each shared lineage; forced ONCE before the parallel
+        # snapshot writes (concurrent Spark jobs do not coordinate on an
+        # unmaterialized cache — without this every table write would
+        # recompute the pUDF stages; observed 6x duplicated extraction).
+        # sched materializes as a by-product of fetched.count().
+        sched = politeness.schedule(pending, robots, ws).persist()
         to_fetch = sched.filter(F.col("state") == "scheduled").drop("slot", "scheduled_ts")
         deferred = (sched.filter(F.col("state") == "deferred")
                     .drop("slot", "scheduled_ts")
                     .withColumn("state", F.lit("pending")))
         disallowed = sched.filter(F.col("state") == "disallowed").drop("slot", "scheduled_ts")
 
-        # "fetch": equi-join with the pages table; only url+html move
-        fetched = to_fetch.join(
-            pages.select("url", F.col("html").cast("string").alias("_html"),
-                         F.col("warc_ts").alias("_warc_ts")),
-            "url", "left").cache()
-        missing = (fetched.filter(F.col("_html").isNull())
-                   .drop("_html", "_warc_ts")
+        # "fetch": equi-join with the pages table. The frontier side is
+        # explicitly broadcast (inner join): the wave is politeness-
+        # budget-bounded while pages is the 100 TB side — broadcasting
+        # the small side guarantees the fat html column NEVER crosses a
+        # shuffle (pages stream from parquet straight into extraction).
+        # At a 10^10 frontier the same guarantee comes from bucketing
+        # both tables by url hash (storage config); plan shape is
+        # identical. Unfetchable urls (P8 retry) come from a separate
+        # anti join that reads ONLY the pruned url column of pages.
+        fetched = (pages.select("url", F.col("html").cast("string").alias("_html"),
+                                F.col("warc_ts").alias("_warc_ts"))
+                   .join(F.broadcast(to_fetch), "url", "inner")
+                   .persist())
+        fetched.count()
+        missing = (to_fetch.join(pages.select("url"), "url", "left_anti")
                    .withColumn("attempts", F.col("attempts") + 1))  # P8 retry
-        got = fetched.filter(F.col("_html").isNotNull())
+        got = fetched
 
         ex_udf, links_udf, jsonld_udf = extract_udfs()
 
@@ -169,14 +189,14 @@ class WaveDriver:
                          F.col("l.rank").alias("rank"))
                  .withColumn("host", host_of(F.col("url"))))
 
-        if self.use_bloom:
+        if self.use_bloom and not seen.isEmpty():
             blooms = D.build_blooms(seen, n_salts=self.n_salts)
             classified = D.classify_with_bloom(
                 links, seen, blooms,
                 F.to_timestamp(F.lit(str(ws)))).drop("url_hash", "salt")
         else:
             classified = D.classify(links, seen, F.to_timestamp(F.lit(str(ws))))
-        classified = classified.cache()
+        classified = classified.persist()
 
         enqueue = (classified.filter(F.col("status") != D.STATUS_UNCHANGED)
                    .drop("status")
@@ -196,7 +216,14 @@ class WaveDriver:
         ext = (details
                .withColumn("x", ex_udf(F.col("_html")))
                .withColumn("jsonld", jsonld_udf(F.col("_html")))
-               .drop("_html"))  # payload pruning: html never crosses a shuffle
+               .drop("_html")  # payload pruning: html never crosses a shuffle
+               .persist())
+        # force the two independent heavy branches concurrently (link
+        # classify + detail extraction); each populates its cache once
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(lambda df: df.count(), [classified, ext]))
         staged = (ext
                   .withColumn("item_title", F.col("x.title"))
                   .withColumn("crawled_at", F.col("_warc_ts")))
@@ -258,26 +285,30 @@ class WaveDriver:
         old_audit = self.store.read(spark, "jsonld_audit")
         audit_all = old_audit.unionByName(audit) if old_audit is not None else audit
 
-        stats = {
-            "wave": wave,
-            "fetched": got.count(),
-            "missing": missing.count(),
-            "deferred": deferred.count(),
-            "disallowed": disallowed.count(),
-            "enqueued": enqueue.count(),
-            "new": classified.filter(F.col("status") == D.STATUS_NEW).count(),
-            "updated": classified.filter(F.col("status") == D.STATUS_UPDATED).count(),
-            "unchanged": classified.filter(F.col("status") == D.STATUS_UNCHANGED).count(),
-            "jobs": jobs_batch.count(),
-        }
+        if self.collect_stats:
+            stats = {
+                "wave": wave,
+                "fetched": got.count(),
+                "missing": missing.count(),
+                "deferred": deferred.count(),
+                "disallowed": disallowed.count(),
+                "enqueued": enqueue.count(),
+                "new": classified.filter(F.col("status") == D.STATUS_NEW).count(),
+                "updated": classified.filter(F.col("status") == D.STATUS_UPDATED).count(),
+                "unchanged": classified.filter(F.col("status") == D.STATUS_UNCHANGED).count(),
+                "jobs": jobs_batch.count(),
+            }
+        else:
+            stats = {"wave": wave}
         self.store.commit(wave, {
             "frontier": new_frontier, "seen": new_seen, "jobs": jobs,
             "extracted": extracted, "lineage": lineage, "jsonld_audit": audit_all,
-        })
+        }, output_partitions=self.snapshot_files)
         seen.unpersist()
         sched.unpersist()
         fetched.unpersist()
         classified.unpersist()
+        ext.unpersist()
         stats["wall_ms"] = int((time.time() - t0) * 1000)
         return stats
 

@@ -1,0 +1,701 @@
+"""Query catalog: every SURVEY §2 operator that is SQL-expressible gets
+a (Spark callable, DuckDB oracle SQL) pair over the shared testdata
+tables; pUDF-only ops get rows-only entries (oracle omitted).
+
+Contract (driver): each callable takes (spark, sf_dir) and returns a
+DataFrame; column names AND types must match the oracle exactly (the
+compare sorts columns by name and value-hashes). Floats are rounded,
+counts cast to BIGINT, timestamps compared as epoch seconds.
+
+Mapping notes — the crawl-engine ops run against TPC-H-ish tables by
+constructing their inputs from deterministic columns (e.g. the D1
+three-way classifier treats orders-before-cutoff as the seen set);
+semantics cited per query. Training-data ops run on documents /
+embeddings natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup as D
+from . import normalize as N
+from . import textops as X
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Analytics over the output model (SURVEY §2.8-2.9)
+# ===========================================================================
+def q_pricing_summary(spark, sf):
+    """A1-style grouped aggregation (TPC-H Q1 shape) on lineitem."""
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").cast("long").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark, sf):
+    """Join + group + top-k (TPC-H Q3 shape): small dims broadcast."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+SQL_TOP_ORDERS = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_nation_revenue(spark, sf):
+    """Multi-way star join (Q5 shape): region->nation->customer->orders->lineitem."""
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").cast("long").alias("n_items"))
+            .orderBy("n_name"))
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_events_hourly(spark, sf):
+    """Tumbling-window aggregation over the events stream table
+    (batch view of the Structured-Streaming window op)."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_epoch"),
+                    "event_type", "n", "sum_value")
+            .orderBy("hour_epoch", "event_type"))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_top_users(spark, sf):
+    """Window-function ranking: top-20 users by event count."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (counts.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 20).orderBy("rk"))
+
+
+SQL_TOP_USERS = """
+SELECT user_id, n_events, rk FROM (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         row_number() OVER (ORDER BY count(*) DESC, user_id)::BIGINT AS rk
+  FROM events GROUP BY user_id) WHERE rk <= 20 ORDER BY rk
+"""
+
+
+# ===========================================================================
+# Crawl-engine operators mapped onto testdata (SURVEY §2.3, §2.5, §2.7)
+# ===========================================================================
+_CUTOFF = "1997-01-01"
+_NOW = "1997-06-01 00:00:00"
+
+
+def q_dedup_three_way(spark, sf):
+    """D1 three-way classifier (deduplicator.go:49-67) — seen set =
+    orders before the cutoff valued by o_orderpriority; candidates =
+    all orders, value bumped for expensive ones => NEW / UPDATED /
+    UNCHANGED, exercised through dedup.classify (the engine operator)."""
+    o = _t(spark, sf, "orders")
+    seen = (o.filter(F.col("o_orderdate") < _CUTOFF)
+            .select(F.lit("tpch").alias("source"),
+                    F.col("o_orderkey").cast("string").alias("id"),
+                    F.lit(None).cast("long").alias("url_hash"),
+                    F.col("o_orderpriority").alias("last_updated_on"),
+                    F.lit(None).cast("timestamp").alias("expires_at"),
+                    F.lit(0).alias("salt")))
+    cands = o.select(
+        F.lit("tpch").alias("source"),
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.when(F.col("o_totalprice") > 150000, F.lit("BUMPED"))
+        .otherwise(F.col("o_orderpriority")).alias("last_updated_on"))
+    out = D.classify(cands, seen)
+    return (out.select(F.col("id").cast("long").alias("o_orderkey"), "status")
+            .orderBy("o_orderkey"))
+
+
+SQL_DEDUP_THREE_WAY = f"""
+WITH seen AS (
+  SELECT o_orderkey, o_orderpriority AS val FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+), cand AS (
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice > 150000 THEN 'BUMPED' ELSE o_orderpriority END AS val
+  FROM orders
+)
+SELECT c.o_orderkey,
+       CASE WHEN s.val IS NULL THEN 'NEW'
+            WHEN s.val != c.val THEN 'UPDATED'
+            ELSE 'UNCHANGED' END AS status
+FROM cand c LEFT JOIN seen s USING (o_orderkey) ORDER BY c.o_orderkey
+"""
+
+
+def q_seen_ttl(spark, sf):
+    """D2 TTL arithmetic (deduplicator.go:72-89) over order dates:
+    future expiry -> expiry+1d; past -> now+30d+1d."""
+    o = _t(spark, sf, "orders")
+    now = F.to_timestamp(F.lit(_NOW))
+    return (o.select(F.col("o_orderkey"),
+                     F.unix_timestamp(
+                         D.expires_at_expr(F.col("o_orderdate"), now))
+                     .cast("long").alias("expires_epoch"))
+            .orderBy("o_orderkey"))
+
+
+SQL_SEEN_TTL = f"""
+SELECT o_orderkey,
+       epoch(CASE WHEN o_orderdate > TIMESTAMP '{_NOW}'
+                  THEN o_orderdate ELSE TIMESTAMP '{_NOW}' + INTERVAL 30 DAY END
+             + INTERVAL 1 DAY)::BIGINT AS expires_epoch
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_frontier_order(spark, sf):
+    """P7 priority-frontier global sequence over events-as-frontier:
+    priority DESC then FIFO tie-break — the crawl-order contract."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.orderBy(F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc())
+    return (e.select("event_id", F.row_number().over(w).cast("long").alias("seq"))
+            .orderBy("seq").limit(1000))
+
+
+SQL_FRONTIER_ORDER = """
+SELECT event_id,
+       row_number() OVER (ORDER BY value DESC, ts ASC, event_id ASC)::BIGINT AS seq
+FROM events ORDER BY seq LIMIT 1000
+"""
+
+
+def q_politeness_schedule(spark, sf):
+    """P1 per-host token budget through the REAL grouped-map scheduler
+    (politeness.schedule): events as frontier rows (host=user_id),
+    constant 3000ms delay, 100 tokens/wave; oracle = window functions."""
+    from . import politeness
+
+    e = _t(spark, sf, "events")
+    frontier = e.select(
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("url"),
+        F.col("user_id").cast("string").alias("host"),
+        F.lit("ev").alias("source"),
+        F.col("event_id").cast("string").alias("id"),
+        F.lit(None).cast("string").alias("last_updated_on"),
+        F.lit(1).alias("depth"),
+        F.lit(0).alias("wave"),
+        F.lit(0).alias("page"),
+        F.lit(0).alias("rank"),
+        F.col("value").cast("double").alias("priority"),
+        F.lit("pending").alias("state"),
+        F.lit(0).alias("attempts"),
+    )
+    hosts = frontier.select("host").distinct()
+    robots = hosts.select(
+        "host", F.lit(3000).alias("crawl_delay_ms"),
+        F.lit(None).cast("array<string>").alias("disallow_prefixes"),
+        F.lit(100).alias("tokens_per_wave"))
+    sched = politeness.schedule(frontier, robots, "2026-01-01 00:00:00")
+    return (sched.select(F.col("id").cast("long").alias("event_id"),
+                         F.col("slot").cast("long").alias("slot"),
+                         F.unix_timestamp("scheduled_ts").cast("long").alias("sched_epoch"),
+                         "state")
+            .orderBy("event_id"))
+
+
+SQL_POLITENESS = """
+WITH ranked AS (
+  SELECT event_id,
+         (row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, lpad(event_id::VARCHAR, 12, '0') ASC) - 1)::BIGINT AS slot
+  FROM events
+)
+SELECT event_id, slot,
+       (epoch(TIMESTAMP '2026-01-01 00:00:00') + (slot * 3000) // 1000)::BIGINT AS sched_epoch,
+       CASE WHEN slot >= 100 THEN 'deferred' ELSE 'scheduled' END AS state
+FROM ranked ORDER BY event_id
+"""
+
+
+def q_job_id_regex(spark, sf):
+    """E7 job-id-from-url regex (careerviet_extractor.go:306-315) over
+    urls synthesized from orders."""
+    o = _t(spark, sf, "orders")
+    url = F.concat(F.lit("https://viec.example.vn/tin."),
+                   F.upper(F.conv(F.col("o_orderkey").cast("string"), 10, 16)),
+                   F.lit(".html"))
+    return (o.select("o_orderkey",
+                     F.regexp_extract(url, r"\.([A-Z0-9]+)\.html$", 1).alias("job_id"))
+            .orderBy("o_orderkey"))
+
+
+SQL_JOB_ID_REGEX = """
+SELECT o_orderkey,
+       regexp_extract('https://viec.example.vn/tin.' || upper(to_hex(o_orderkey)) || '.html',
+                      '\\.([A-Z0-9]+)\\.html$', 1) AS job_id
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_pagination_rewrite(spark, sf):
+    """E8 pagination-URL rewrite (careerviet_extractor.go:296-304):
+    page N>1 gets -trang-N- infix."""
+    o = _t(spark, sf, "orders")
+    base = F.concat(F.lit("https://x.vn/viec-lam-"),
+                    F.col("o_custkey").cast("string"), F.lit("-vi.html"))
+    page = (F.col("o_orderkey") % 5 + 1).cast("int")
+    rewritten = F.when(page > 1, F.regexp_replace(
+        base, r"-vi\.html$",
+        F.concat(F.lit("-trang-"), page.cast("string"), F.lit("-vi.html")))
+    ).otherwise(base)
+    return (o.select("o_orderkey", rewritten.alias("page_url"))
+            .orderBy("o_orderkey"))
+
+
+SQL_PAGINATION = """
+SELECT o_orderkey,
+       CASE WHEN (o_orderkey % 5 + 1) > 1
+            THEN regexp_replace('https://x.vn/viec-lam-' || o_custkey || '-vi.html',
+                                '-vi\\.html$', '-trang-' || (o_orderkey % 5 + 1) || '-vi.html')
+            ELSE 'https://x.vn/viec-lam-' || o_custkey || '-vi.html' END AS page_url
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_experience_tags(spark, sf):
+    """N5 experience->tags table (normalizer.go:438-472) driven by
+    p_size-derived experience strings; tags joined for stable hashing."""
+    p = _t(spark, sf, "part")
+    exp = (F.when(F.col("p_size") % 8 == 0, "Không yêu cầu")
+           .when(F.col("p_size") % 8 == 1, "Chưa có kinh nghiệm")
+           .when(F.col("p_size") % 8 == 2, "Dưới 1 năm")
+           .when(F.col("p_size") % 8 == 3, "1 năm")
+           .when(F.col("p_size") % 8 == 4, "2 năm")
+           .when(F.col("p_size") % 8 == 5, "3 năm")
+           .when(F.col("p_size") % 8 == 6, "5 năm")
+           .otherwise("Hơn 5 năm"))
+    return (p.select("p_partkey",
+                     F.concat_ws(",", N.map_experience_to_tags(exp)).alias("tags"))
+            .orderBy("p_partkey"))
+
+
+SQL_EXPERIENCE_TAGS = """
+SELECT p_partkey,
+       CASE p_size % 8
+         WHEN 0 THEN 'A,B,C,D,E,F' WHEN 1 THEN 'A,B,C,D,E,F'
+         WHEN 2 THEN 'B,C,D,E,F'   WHEN 3 THEN 'C,D,E,F'
+         WHEN 4 THEN 'D,E,F'       WHEN 5 THEN 'E,F'
+         WHEN 6 THEN 'E,F'         ELSE 'F' END AS tags
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_salary_parse(spark, sf):
+    """N7 salary-string regex parse (normalizer.go:776-804) over strings
+    synthesized from order prices."""
+    o = _t(spark, sf, "orders")
+    a = (F.col("o_totalprice") / 10000).cast("int")
+    s = (F.when(F.col("o_orderkey") % 4 == 0,
+                F.format_string("%d - %d triệu", a, a + 5))
+         .when(F.col("o_orderkey") % 4 == 1, F.format_string("Trên %d triệu", a))
+         .when(F.col("o_orderkey") % 4 == 2, F.format_string("Dưới %d triệu", a))
+         .otherwise(F.lit("Thỏa thuận")))
+    parsed = N.parse_salary(s)
+    return (o.select("o_orderkey",
+                     parsed["min"].cast("long").alias("salary_min"),
+                     parsed["max"].cast("long").alias("salary_max"),
+                     N.is_negotiable_salary(s).alias("negotiable"))
+            .orderBy("o_orderkey"))
+
+
+SQL_SALARY_PARSE = """
+WITH s AS (
+  -- floor, not ::INT: DuckDB's double->int cast rounds, Spark's truncates
+  SELECT o_orderkey, floor(o_totalprice / 10000)::INT AS a, o_orderkey % 4 AS v
+  FROM orders
+)
+SELECT o_orderkey,
+       (CASE WHEN v = 0 THEN a WHEN v = 1 THEN a ELSE 0 END)::BIGINT AS salary_min,
+       (CASE WHEN v = 0 THEN a + 5 WHEN v = 2 THEN a ELSE 0 END)::BIGINT AS salary_max,
+       v = 3 AS negotiable
+FROM s ORDER BY o_orderkey
+"""
+
+
+def q_vnd_millions(spark, sf):
+    """N9 VND->millions conversion (normalizer.go:199-204): strict >1000,
+    integer truncation."""
+    o = _t(spark, sf, "orders")
+    v = (F.col("o_totalprice") * 50).cast("long")
+    return (o.select("o_orderkey",
+                     N.vnd_to_millions(v).cast("long").alias("millions"))
+            .orderBy("o_orderkey"))
+
+
+SQL_VND_MILLIONS = """
+SELECT o_orderkey,
+       (CASE WHEN floor(o_totalprice * 50)::BIGINT > 1000
+             THEN floor(o_totalprice * 50)::BIGINT // 1000000
+             ELSE floor(o_totalprice * 50)::BIGINT END)::BIGINT AS millions
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_string_coalesce(spark, sf):
+    """N2 getString multi-key coalesce (normalizer.go:342-358): first
+    non-empty of candidate columns, trimmed."""
+    c = _t(spark, sf, "customer")
+    a = F.when(F.col("c_custkey") % 3 == 0, F.lit("")).otherwise(F.col("c_name"))
+    b = F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))
+    return (c.select("c_custkey", N.get_string(a, b).alias("label"))
+            .orderBy("c_custkey"))
+
+
+SQL_STRING_COALESCE = """
+SELECT c_custkey,
+       coalesce(nullif(trim(CASE WHEN c_custkey % 3 = 0 THEN '' ELSE c_name END), ''),
+                nullif(trim('  ' || c_mktsegment || '  '), ''), '') AS label
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_hybrid_union(spark, sf):
+    """S4 hybrid HTML+API union (careerviet_extractor.go:151-171):
+    two branch scans merged with unionByName, per-branch tolerance."""
+    o = _t(spark, sf, "orders")
+    html_branch = (o.filter(F.col("o_orderstatus") == "O")
+                   .select("o_orderkey", F.lit("html").alias("via")))
+    api_branch = (o.filter(F.col("o_orderstatus") == "F")
+                  .select("o_orderkey", F.lit("api").alias("via")))
+    return (html_branch.unionByName(api_branch)
+            .groupBy("via").agg(F.count("*").cast("long").alias("n"))
+            .orderBy("via"))
+
+
+SQL_HYBRID_UNION = """
+SELECT via, count(*)::BIGINT AS n FROM (
+  SELECT o_orderkey, 'html' AS via FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT o_orderkey, 'api' AS via FROM orders WHERE o_orderstatus = 'F'
+) GROUP BY via ORDER BY via
+"""
+
+
+def q_paginate(spark, sf):
+    """S1 paginated list scan mapping: rank within host -> (page, rank)
+    at 30/page (types.go:20)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    pos = F.row_number().over(w) - 1
+    return (o.select("o_orderkey", "o_custkey",
+                     (F.floor(pos / 30) + 1).cast("long").alias("page"),
+                     (pos % 30 + 1).cast("long").alias("rank"))
+            .orderBy("o_orderkey"))
+
+
+SQL_PAGINATE = """
+SELECT o_orderkey, o_custkey,
+       ((row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1) // 30 + 1)::BIGINT AS page,
+       ((row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1) % 30 + 1)::BIGINT AS rank
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ===========================================================================
+# Training-data ops (documents / embeddings)
+# ===========================================================================
+def q_doc_exact_dedup(spark, sf):
+    """Exact-hash dedup groups (D4 family). The corpus is unioned with
+    a key-shifted copy of its even docs so duplicate groups exist and
+    the min-key winner logic is actually exercised."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    copies = (docs.filter(F.col("doc_id") % 2 == 0)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return (X.exact_dup_groups(docs.unionByName(copies))
+            .select("text_hash", F.col("n_dups").cast("long").alias("n_dups"),
+                    F.col("keep_id").cast("long").alias("keep_id"))
+            .orderBy("text_hash"))
+
+
+SQL_DOC_EXACT_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0
+)
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups,
+       min(doc_id)::BIGINT AS keep_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+"""
+
+
+def q_doc_minhash(spark, sf):
+    """MinHash signatures (4 permutations, 2-gram shingles)."""
+    docs = _t(spark, sf, "documents")
+    return (X.minhash_signature(docs, num_perm=4, shingle_n=2)
+            .orderBy("doc_id"))
+
+
+SQL_DOC_MINHASH = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) != ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS s
+  FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i)
+  WHERE i <= len(t) - 1
+)
+SELECT doc_id, min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+       min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_doc_lsh_pairs(spark, sf):
+    """MinHash+LSH near-dup pairs (8 perm, 4 bands, jaccard >= 0.5),
+    oracle replicates the identical banding scheme in SQL."""
+    docs = _t(spark, sf, "documents")
+    return (X.minhash_lsh_pairs(docs, num_perm=8, bands=4,
+                                jaccard_threshold=0.5)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"), "jaccard")
+            .orderBy("id_a", "id_b"))
+
+
+SQL_DOC_LSH_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) != ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS s
+  FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i)
+  WHERE i <= len(t) - 1
+), sig AS (
+  SELECT doc_id,
+         min(md5('0:'||s))||'|'||min(md5('1:'||s)) AS b0,
+         min(md5('2:'||s))||'|'||min(md5('3:'||s)) AS b1,
+         min(md5('4:'||s))||'|'||min(md5('5:'||s)) AS b2,
+         min(md5('6:'||s))||'|'||min(md5('7:'||s)) AS b3
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, 0 AS band, b0 AS val FROM sig UNION ALL
+  SELECT doc_id, 1, b1 FROM sig UNION ALL
+  SELECT doc_id, 2, b2 FROM sig UNION ALL
+  SELECT doc_id, 3, b3 FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val
+   AND a.doc_id < b.doc_id
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y
+    ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a::BIGINT AS id_a, c.id_b::BIGINT AS id_b,
+       round(coalesce(i.i, 0) / greatest(ca.n + cb.n - coalesce(i.i, 0), 1), 4) AS jaccard
+FROM cand c JOIN counts ca ON ca.doc_id = c.id_a
+JOIN counts cb ON cb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE round(coalesce(i.i, 0) / greatest(ca.n + cb.n - coalesce(i.i, 0), 1), 4) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_doc_stats(spark, sf):
+    """Text analysis: token count, char count, quality score, language."""
+    docs = _t(spark, sf, "documents")
+    return (docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        X.quality_score(F.col("text")).alias("quality"),
+        X.lang_id(F.col("text")).alias("pred_lang"))
+        .orderBy("doc_id"))
+
+
+SQL_DOC_STATS = rf"""
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+         length(lower(text)) - length(regexp_replace(lower(text), '[{X._VI_CHARS}]', '', 'g')) AS n_vi
+  FROM documents
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_chars::BIGINT AS n_chars,
+       round(((CASE WHEN n_chars BETWEEN 80 AND 20000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN n_chars / greatest(n_tokens, 1) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN n_upper / greatest(n_chars, 1) <= 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
+         AS quality,
+       CASE WHEN n_vi / greatest(n_chars, 1) >= 0.02 THEN 'vi' ELSE 'en' END AS pred_lang
+FROM b ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    """Rolling-hash document fingerprint (char 8-grams, min-md5)."""
+    docs = _t(spark, sf, "documents")
+    return (docs.select("doc_id",
+                        X.doc_fingerprint(F.col("text"), 8).alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, min(md5(substr(text, i, 8))) AS fingerprint
+FROM documents, (SELECT unnest(generate_series(1, 1000000)) AS i)
+WHERE i <= greatest(length(text) - 7, 1)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_ann_topk(spark, sf):
+    """Brute-force cosine top-10 against the min-vec_id embedding
+    (the ANN baseline; the LSH variant is the scale path)."""
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return (X.brute_force_topk(emb, q, k=10)
+            .select(F.col("vec_id").cast("long").alias("vec_id"), "cosine"))
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT e.vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
+# -- rows-only entries (genuinely non-SQL ops: pUDF / engine state) --------
+def q_doc_simhash(spark, sf):
+    """D5 simhash near-dup hashes (pandas UDF — rows-only check)."""
+    docs = _t(spark, sf, "documents")
+    return (docs.select("doc_id", D.simhash_udf()(F.col("text")).alias("simhash"))
+            .orderBy("doc_id"))
+
+
+def q_ann_lsh(spark, sf):
+    """Multi-probe LSH ANN (rows-only: approximate by design)."""
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return (X.ann_topk_lsh(emb, q, k=10, n_planes=6, probe_hamming=2)
+            .select(F.col("vec_id").cast("long").alias("vec_id"), "cosine"))
+
+
+def q_clean_to_text(spark, sf):
+    """C2 byte-identity cleaner over documents-as-HTML (pandas UDF —
+    rows-only; the byte gate itself is pinned by pytest golden tests)."""
+    from .clean import udfs as clean_udfs
+
+    docs = _t(spark, sf, "documents")
+    _, clean_to_text_udf, _ = clean_udfs()
+    html = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>\n\n\n<script>x()</script>"))
+    return (docs.select("doc_id", clean_to_text_udf(html).alias("clean_text"))
+            .orderBy("doc_id"))
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+QUERIES = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "top_users": (q_top_users, SQL_TOP_USERS),
+    "dedup_three_way": (q_dedup_three_way, SQL_DEDUP_THREE_WAY),
+    "seen_ttl": (q_seen_ttl, SQL_SEEN_TTL),
+    "frontier_order": (q_frontier_order, SQL_FRONTIER_ORDER),
+    "politeness_schedule": (q_politeness_schedule, SQL_POLITENESS),
+    "job_id_regex": (q_job_id_regex, SQL_JOB_ID_REGEX),
+    "pagination_rewrite": (q_pagination_rewrite, SQL_PAGINATION),
+    "experience_tags": (q_experience_tags, SQL_EXPERIENCE_TAGS),
+    "salary_parse": (q_salary_parse, SQL_SALARY_PARSE),
+    "vnd_millions": (q_vnd_millions, SQL_VND_MILLIONS),
+    "string_coalesce": (q_string_coalesce, SQL_STRING_COALESCE),
+    "hybrid_union": (q_hybrid_union, SQL_HYBRID_UNION),
+    "paginate": (q_paginate, SQL_PAGINATE),
+    "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    "doc_minhash": (q_doc_minhash, SQL_DOC_MINHASH),
+    "doc_lsh_pairs": (q_doc_lsh_pairs, SQL_DOC_LSH_PAIRS),
+    "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    # rows-only (non-SQL-expressible: pandas-UDF or approximate ops)
+    "doc_simhash": (q_doc_simhash, None),
+    "ann_lsh": (q_ann_lsh, None),
+    "clean_to_text": (q_clean_to_text, None),
+}

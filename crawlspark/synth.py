@@ -226,19 +226,35 @@ def _locations(h_city: int, h_nloc: int) -> list[dict]:
     return locs
 
 
+_LOREM = ["Phúc lợi hấp dẫn", "Môi trường năng động", "Lương thưởng cạnh tranh",
+          "Đào tạo bài bản", "Cơ hội thăng tiến", "Chế độ bảo hiểm đầy đủ",
+          "Làm việc với đối tác quốc tế", "Đồng nghiệp thân thiện"]
+
+
 def _description_html(title: str, i: int, h_noise: int, upd: bool, wave: int) -> str:
-    lorem = ["Phúc lợi hấp dẫn", "Môi trường năng động", "Lương thưởng cạnh tranh",
-             "Đào tạo bài bản", "Cơ hội thăng tiến"][h_noise % 5]
     noisy_script = "<script>bad()</script>" if h_noise % 10 == 0 else ""
+    duties = "".join(
+        f"<li>Nhiệm vụ {k + 1}: {_LOREM[(h_noise + k) % len(_LOREM)]} cho bộ phận {(i + k) % 9 + 1}</li>"
+        for k in range(4 + h_noise % 4))
     desc = (
         f"<p>Mô tả công việc cho {title} &amp; đội ngũ.</p>\n\n\n"
-        f"<ul><li>Nhiệm vụ chính số {i % 7 + 1}</li>"
+        f"<ul>{duties}"
         f"<li>Làm việc với &quot;khách hàng&quot; &#x1EA1; trọng điểm</li></ul>\n"
-        f"{noisy_script}<p>Chi tiết: {lorem}.</p>"
+        f"{noisy_script}<p>Chi tiết: {_LOREM[h_noise % len(_LOREM)]}.</p>"
     )
     if upd:
         desc += f"\n<p>Cập nhật đợt {wave}</p>"
     return desc
+
+
+def _body_filler(i: int, h_noise: int, kb: int = 6) -> str:
+    """Deterministic page bloat: real Common-Crawl job pages run
+    50-100 KB of nav/boilerplate; extraction must scan past it."""
+    para = (f"<div class=\"related\"><span>Việc làm liên quan {h_noise % 97}</span> "
+            + " ".join(f"<a href=\"/tag-{(h_noise + j) % 53}\">từ khóa {j}</a>"
+                       for j in range(8)) + "</div>")
+    reps = max(1, (kb * 1024) // len(para.encode("utf-8")))
+    return para * reps
 
 
 def _jobposting_json(f: dict, i: int, idx: int, url: str, desc: str) -> str:
@@ -335,6 +351,7 @@ def gen_detail_chunk(ids: np.ndarray, seed: int = 42, wave: int = 1) -> pd.DataF
             f"<h1 onclick=\"evil()\">{f['title'][idx]}</h1>"
             f"<div class=\"flex flex-col w-full\"><div>Kinh nghiệm</div><div>{f['experience'][idx]}</div></div>"
             "<div class=\"flex flex-col w-full\"><div>Nơi làm việc</div><div>Văn phòng</div></div>"
+            f"{_body_filler(i, int(f['h_noise'][idx]))}"
             f"<script type=\"application/ld+json\">{jp}</script>"
             f"{org}"
             "<footer>© Công ty &amp; cộng sự</footer>"

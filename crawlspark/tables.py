@@ -69,7 +69,8 @@ class SnapshotStore:
 
     # -- commit -----------------------------------------------------------
     def commit(self, wave: int, tables: dict[str, DataFrame],
-               partition_by: dict[str, list[str]] | None = None) -> int:
+               partition_by: dict[str, list[str]] | None = None,
+               output_partitions: int | None = None) -> int:
         """Write `tables`, then atomically publish a new snapshot that
         includes them plus every carried-forward table from the previous
         snapshot. Returns the new snapshot id."""
@@ -78,13 +79,30 @@ class SnapshotStore:
         sid = (prev["sid"] + 1) if prev else 1
 
         entry_tables: dict[str, str] = dict(prev["tables"]) if prev else {}
-        for name, df in tables.items():
+
+        def _write(item):
+            name, df = item
             rel = f"data/{sid}/{name}"
+            if output_partitions:
+                # snapshot state tables are small relative to the data
+                # they describe; fewer output files avoid committer
+                # contention (Iceberg handles file sizing in production)
+                df = df.coalesce(output_partitions)
             writer = df.write.mode("overwrite")
             for col in (partition_by or {}).get(name, []):
                 writer = writer.partitionBy(col)
             writer.parquet(str(self.root / rel))
-            entry_tables[name] = rel
+            return name, rel
+
+        # Spark accepts concurrent job submission from driver threads:
+        # writing the wave's tables in parallel keeps all cores busy
+        # instead of serializing N small parquet jobs (the serial
+        # fraction is what kills N->4N scaling efficiency).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
+            for name, rel in pool.map(_write, tables.items()):
+                entry_tables[name] = rel
 
         manifest["snapshots"].append({
             "sid": sid,

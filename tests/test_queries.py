@@ -1,0 +1,59 @@
+"""Run every (Spark query, DuckDB oracle) pair at sf0.001 and compare
+exactly — a local rehearsal of the driver's CORRECTNESS gate."""
+
+import math
+
+import duckdb
+import pytest
+
+from crawlspark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 4)
+    return v
+
+
+def _rows(df_rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in df_rows)
+
+
+@pytest.mark.parametrize("name", [k for k, v in QUERIES.items() if v[1]])
+def test_oracle_pair(name, spark, duck):
+    fn, sql = QUERIES[name]
+    sdf = fn(spark, SF)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows), (len(spark_rows), len(duck_rows))
+    a = _rows(spark_rows, spark_cols)
+    b = _rows(duck_rows, duck_cols)
+    mism = [(x, y) for x, y in zip(a, b) if x != y][:5]
+    assert a == b, f"{name}: first mismatches {mism}"
+
+
+@pytest.mark.parametrize("name", [k for k, v in QUERIES.items() if v[1] is None])
+def test_rows_only(name, spark):
+    fn, _ = QUERIES[name]
+    df = fn(spark, SF)
+    assert df.count() > 0
+    assert len(df.columns) >= 2

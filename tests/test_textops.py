@@ -1,0 +1,162 @@
+"""Training-data ops over the real testdata tables + DuckDB cross-checks."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import textops as X
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+class TestTextAnalysis:
+    def test_token_count_matches_duckdb(self, docs):
+        got = {r["doc_id"]: r["n"] for r in docs.select(
+            "doc_id", X.token_count(F.col("text")).alias("n")).collect()}
+        want = dict(duckdb.sql(rf"""
+            select doc_id, len(string_split_regex(trim(lower(text)), '\s+'))
+            from '{SF}/documents.parquet' where trim(text) != ''
+        """).fetchall())
+        for k, v in want.items():
+            assert got[k] == v
+
+    def test_lang_id_is_reasonable(self, docs):
+        out = docs.select("lang", X.lang_id(F.col("text")).alias("pred"))
+        agree = out.filter(F.col("lang") == F.col("pred")).count()
+        total = out.filter(F.col("lang").isin("vi", "en")).count()
+        if total:
+            assert agree / total > 0.5
+
+    def test_quality_score_bounds(self, docs):
+        s = docs.select(X.quality_score(F.col("text")).alias("q"))
+        assert s.filter((F.col("q") < 0) | (F.col("q") > 1)).count() == 0
+
+
+class TestDedup:
+    def test_exact_dup_groups_matches_duckdb(self, docs):
+        got = {r["text_hash"]: (r["n_dups"], r["keep_id"])
+               for r in X.exact_dup_groups(docs).collect()}
+        want = {h: (n, k) for h, n, k in duckdb.sql(f"""
+            select md5(text), count(*) as n, min(doc_id)
+            from '{SF}/documents.parquet' group by 1 having count(*) > 1
+        """).fetchall()}
+        assert got == want
+
+    def test_minhash_signature_matches_duckdb(self, docs):
+        sig = X.minhash_signature(docs, num_perm=4, shingle_n=2)
+        got = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(4))
+               for r in sig.collect()}
+        want = {}
+        for doc_id, *mhs in duckdb.sql(rf"""
+            with toks as (
+              select doc_id, string_split_regex(trim(lower(text)), '\s+') as t
+              from '{SF}/documents.parquet' where trim(text) != ''
+            ), sh as (
+              select distinct doc_id, array_to_string(t[i:i+1], ' ') as s
+              from toks, (select unnest(generate_series(1, 10000)) as i)
+              where i <= len(t) - 1
+            )
+            select doc_id, min(md5('0:' || s)), min(md5('1:' || s)),
+                   min(md5('2:' || s)), min(md5('3:' || s))
+            from sh group by doc_id
+        """).fetchall():
+            want[doc_id] = tuple(mhs)
+        assert got.keys() == want.keys()
+        assert got == want
+
+    def test_lsh_finds_exact_dups(self, spark):
+        rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "the quick brown fox jumps over the lazy dog today"),
+                (3, "the quick brown fox jumps over the lazy cat today"),
+                (4, "completely unrelated text about spark partitions and shuffles")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = X.minhash_lsh_pairs(df, num_perm=8, bands=4, jaccard_threshold=0.5)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        assert (1, 2) in got and got[(1, 2)] == 1.0
+        assert all(a != 4 and b != 4 for a, b in got)
+
+    def test_ngram_jaccard_all_pairs(self, spark):
+        rows = [(1, "a b c d e"), (2, "a b c d x"), (3, "z z z z z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in X.ngram_jaccard_all_pairs(df, threshold=0.0).collect()}
+        # shingles(1)={ab,bc,cd,de}, shingles(2)={ab,bc,cd,dx}: 3/5
+        assert got[(1, 2)] == 0.6
+        assert (1, 3) not in got
+
+
+class TestFingerprint:
+    def test_matches_duckdb(self, docs):
+        got = {r["doc_id"]: r["fp"] for r in docs.select(
+            "doc_id", X.doc_fingerprint(F.col("text"), 8).alias("fp")).collect()}
+        want = dict(duckdb.sql(f"""
+            with t as (select doc_id, text from '{SF}/documents.parquet')
+            select doc_id, min(md5(substr(text, i, 8)))
+            from t, (select unnest(generate_series(1, 100000)) as i)
+            where i <= greatest(length(text) - 7, 1)
+            group by doc_id
+        """).fetchall())
+        assert got == want
+
+
+class TestANN:
+    def test_brute_force_matches_duckdb(self, emb):
+        q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        got = [(r["vec_id"], r["cosine"])
+               for r in X.brute_force_topk(emb, q, k=5).collect()]
+        qlit = "[" + ",".join(repr(x) for x in q) + "]::FLOAT[]"
+        want = duckdb.sql(f"""
+            select vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
+                   {qlit}::DOUBLE[]), 6) as c
+            from '{SF}/embeddings.parquet'
+            order by c desc, vec_id limit 5
+        """).fetchall()
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) < 1e-5
+
+    def test_lsh_recall(self, emb):
+        q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        exact = {r["vec_id"] for r in X.brute_force_topk(emb, q, k=10).collect()}
+        approx = {r["vec_id"] for r in
+                  X.ann_topk_lsh(emb, q, k=10, n_planes=6, probe_hamming=2).collect()}
+        assert len(exact & approx) / 10 >= 0.5  # multi-probe recall
+
+    def test_lsh_bucket_deterministic(self, emb):
+        dim = len(emb.first()["embedding"])
+        b1 = emb.select(X.lsh_bucket(F.col("embedding"), dim).alias("b")).collect()
+        b2 = emb.select(X.lsh_bucket(F.col("embedding"), dim).alias("b")).collect()
+        assert [r["b"] for r in b1] == [r["b"] for r in b2]
+
+
+class TestMultimodal:
+    def test_feature_pipeline(self, spark):
+        from crawlspark import multimodal as M
+
+        media = spark.createDataFrame(M.gen_media_pandas(50), schema=M.MEDIA_SCHEMA)
+        feats = M.extract_features(media, dim=8).collect()
+        assert len(feats) == 50
+        by_id = {r["media_id"]: r for r in feats}
+        assert all(len(r["feature"]) == 8 for r in feats)
+        vids = [r for r in feats if r["kind"] == "video"]
+        assert vids and all(r["n_frames"] >= 1 for r in vids)
+        # deterministic across runs
+        feats2 = {r["media_id"]: list(r["feature"])
+                  for r in M.extract_features(media, dim=8).collect()}
+        assert all(list(by_id[k]["feature"]) == v for k, v in feats2.items())
+
+    def test_real_decoder_is_gated(self):
+        from crawlspark import multimodal as M
+
+        with pytest.raises(NotImplementedError):
+            M.real_decode(b"x", "image")
