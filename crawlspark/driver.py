@@ -31,6 +31,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import time
 from datetime import datetime, timedelta
 
@@ -156,19 +157,20 @@ class WaveDriver:
         disallowed = sched.filter(F.col("state") == "disallowed").drop("slot", "scheduled_ts")
 
         # "fetch": equi-join with the pages table. The frontier side is
-        # explicitly broadcast (inner join): the wave is politeness-
-        # budget-bounded while pages is the 100 TB side — broadcasting
-        # the small side guarantees the fat html column NEVER crosses a
+        # explicitly broadcast (inner join) and PRUNED to the columns
+        # the downstream stages read: the wave is politeness-budget-
+        # bounded while pages is the 100 TB side — broadcasting the
+        # small side guarantees the fat html column NEVER crosses a
         # shuffle (pages stream from parquet straight into extraction).
         # At a 10^10 frontier the same guarantee comes from bucketing
         # both tables by url hash (storage config); plan shape is
         # identical. Unfetchable urls (P8 retry) come from a separate
         # anti join that reads ONLY the pruned url column of pages.
+        fetch_cols = to_fetch.select("url", "depth", "page", "id", "last_updated_on")
         fetched = (pages.select("url", F.col("html").cast("string").alias("_html"),
                                 F.col("warc_ts").alias("_warc_ts"))
-                   .join(F.broadcast(to_fetch), "url", "inner")
+                   .join(F.broadcast(fetch_cols), "url", "inner")
                    .persist())
-        fetched.count()
         missing = (to_fetch.join(pages.select("url"), "url", "left_anti")
                    .withColumn("attempts", F.col("attempts") + 1))  # P8 retry
         got = fetched
@@ -218,16 +220,27 @@ class WaveDriver:
                .withColumn("jsonld", jsonld_udf(F.col("_html")))
                .drop("_html")  # payload pruning: html never crosses a shuffle
                .persist())
-        # force the two independent heavy branches concurrently (link
-        # classify + detail extraction); each populates its cache once
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            list(pool.map(lambda df: df.count(), [classified, ext]))
+        # Force ext first: it materializes every fetched partition (the
+        # depth filter does not prune cached partitions), so sched and
+        # fetched caches fill as a by-product of ONE action; classified
+        # then reuses the fetched cache. Without this the parallel
+        # snapshot writes would recompute the pUDF stages concurrently.
+        _trace = os.environ.get("CRAWLSPARK_TRACE") == "1"
+        _t = time.time()
+        ext.count()
+        if _trace:
+            print(f"[wave {wave}] ext.count {time.time()-_t:.1f}s", flush=True)
+            _t = time.time()
+        classified.count()
+        if _trace:
+            print(f"[wave {wave}] classified.count {time.time()-_t:.1f}s", flush=True)
+            _t = time.time()
         staged = (ext
+                  .withColumn("source", F.lit(self.source))
                   .withColumn("item_title", F.col("x.title"))
                   .withColumn("crawled_at", F.col("_warc_ts")))
-        jobs_batch = normalize_vieclam24h(staged).dropDuplicates(["id"])
+        jobs_batch = (normalize_vieclam24h(staged).dropDuplicates(["id"])
+                      .withColumn("wave", F.lit(wave)))
 
         # the byte-identity surface (C2, worker.go:145-147): CleanToText of
         # the extracted description, committed per url
@@ -235,25 +248,14 @@ class WaveDriver:
         extracted_batch = ext.select(
             "url", F.lit(wave).alias("wave"),
             clean_to_text_udf(F.col("x.job_description")).alias("text"))
-        old_extracted = self.store.read(spark, "extracted")
-        if old_extracted is not None:
-            extracted = (old_extracted.join(extracted_batch.select("url"), "url", "left_anti")
-                         .unionByName(extracted_batch))
-        else:
-            extracted = extracted_batch
-
         audit = (ext.select("url", F.lit(wave).alias("wave"),
                             F.posexplode("jsonld").alias("blob_index", "blob")))
 
-        old_jobs = self.store.read(spark, "jobs")
-        if old_jobs is not None:
-            jobs = (old_jobs.join(jobs_batch.select("id"), "id", "left_anti")
-                    .unionByName(jobs_batch))
-        else:
-            jobs = jobs_batch
-
         # ---- frontier state update ---------------------------------------
-        fetched_rows = (got.drop("_html", "_warc_ts", "x", "jsonld")
+        # fetched = scheduled minus unfetchable; the anti join against the
+        # (usually tiny) missing set avoids re-deriving frontier columns
+        # through the pruned fetch join
+        fetched_rows = (to_fetch.join(missing.select("url"), "url", "left_anti")
                         .withColumn("state", F.lit("fetched")))
         new_frontier = (rest
                         .unionByName(fetched_rows.select(*rest.columns))
@@ -278,12 +280,6 @@ class WaveDriver:
                        .withColumn("committed_at", F.current_timestamp())
                        .select("wave", "partition_id", "urls_fetched", "dedup_hits",
                                "new", "updated", "unchanged", "wall_ms", "committed_at"))
-        old_lineage = self.store.read(spark, "lineage")
-        lineage = (old_lineage.unionByName(lineage_new)
-                   if old_lineage is not None else lineage_new)
-
-        old_audit = self.store.read(spark, "jsonld_audit")
-        audit_all = old_audit.unionByName(audit) if old_audit is not None else audit
 
         if self.collect_stats:
             stats = {
@@ -300,10 +296,20 @@ class WaveDriver:
             }
         else:
             stats = {"wave": wave}
-        self.store.commit(wave, {
-            "frontier": new_frontier, "seen": new_seen, "jobs": jobs,
-            "extracted": extracted, "lineage": lineage, "jsonld_audit": audit_all,
-        }, output_partitions=self.snapshot_files)
+        # frontier/seen are state tables (overwrite); jobs/extracted/
+        # lineage/audit append the wave's batch only (O(batch) IO);
+        # last-write-wins reads go through jobs_view()/extracted_view()
+        if _trace:
+            print(f"[wave {wave}] stats+plan {time.time()-_t:.1f}s", flush=True)
+            _t = time.time()
+        self.store.commit(
+            wave,
+            {"frontier": new_frontier, "seen": new_seen},
+            appends={"jobs": jobs_batch, "extracted": extracted_batch,
+                     "lineage": lineage_new, "jsonld_audit": audit},
+            output_partitions=self.snapshot_files)
+        if _trace:
+            print(f"[wave {wave}] commit {time.time()-_t:.1f}s", flush=True)
         seen.unpersist()
         sched.unpersist()
         fetched.unpersist()
@@ -311,6 +317,26 @@ class WaveDriver:
         ext.unpersist()
         stats["wall_ms"] = int((time.time() - t0) * 1000)
         return stats
+
+    # -- read-side views (append tables resolve last-write-wins here,
+    # the parquet-sandbox equivalent of Iceberg MERGE results) ----------
+    def _latest_view(self, table: str, key: str) -> DataFrame | None:
+        from pyspark.sql.window import Window
+
+        df = self.store.read(self.spark, table)
+        if df is None:
+            return None
+        w = Window.partitionBy(key).orderBy(F.col("wave").desc())
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def jobs_view(self) -> DataFrame | None:
+        """Normalized jobs, last write per id (K3 upsert semantics)."""
+        return self._latest_view("jobs", "id")
+
+    def extracted_view(self) -> DataFrame | None:
+        """Extracted text, last write per url (byte-identity surface)."""
+        return self._latest_view("extracted", "url")
 
     # -- loop ---------------------------------------------------------------
     def pending_count(self) -> int:

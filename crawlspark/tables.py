@@ -58,36 +58,49 @@ class SnapshotStore:
     # -- read -------------------------------------------------------------
     def read(self, spark: SparkSession, table: str,
              snapshot_id: int | None = None) -> DataFrame | None:
-        """Read a table at a snapshot (default: latest). None if absent."""
+        """Read a table at a snapshot (default: latest). None if absent.
+
+        Append-mode tables resolve to the union of all their batch
+        directories (manifest entry is a list) — the parquet-sandbox
+        equivalent of an Iceberg table's data-file list.
+        """
         snaps = self.snapshots()
         if snapshot_id is not None:
             snaps = [s for s in snaps if s["sid"] == snapshot_id]
         for s in reversed(snaps):
             if table in s["tables"]:
-                return spark.read.parquet(str(self.root / s["tables"][table]))
+                entry = s["tables"][table]
+                paths = entry if isinstance(entry, list) else [entry]
+                return spark.read.parquet(*[str(self.root / p) for p in paths])
         return None
 
     # -- commit -----------------------------------------------------------
     def commit(self, wave: int, tables: dict[str, DataFrame],
                partition_by: dict[str, list[str]] | None = None,
-               output_partitions: int | None = None) -> int:
-        """Write `tables`, then atomically publish a new snapshot that
-        includes them plus every carried-forward table from the previous
-        snapshot. Returns the new snapshot id."""
+               output_partitions: int | None = None,
+               appends: dict[str, DataFrame] | None = None) -> int:
+        """Write `tables` (overwrite semantics) and `appends` (the wave's
+        batch joins the table's directory list — O(batch) IO instead of
+        an O(total) rewrite, like Iceberg appending data files), then
+        atomically publish ONE snapshot covering both plus every
+        carried-forward table. Returns the new snapshot id."""
         manifest = self._read_manifest()
         prev = manifest["snapshots"][-1] if manifest["snapshots"] else None
         sid = (prev["sid"] + 1) if prev else 1
 
-        entry_tables: dict[str, str] = dict(prev["tables"]) if prev else {}
+        entry_tables: dict = dict(prev["tables"]) if prev else {}
 
         def _write(item):
             name, df = item
             rel = f"data/{sid}/{name}"
             if output_partitions:
-                # snapshot state tables are small relative to the data
-                # they describe; fewer output files avoid committer
-                # contention (Iceberg handles file sizing in production)
-                df = df.coalesce(output_partitions)
+                # Fewer output files avoid committer contention (Iceberg
+                # handles file sizing in production). MUST be repartition,
+                # not coalesce: coalesce would pull the upstream compute
+                # (normalize/clean pUDFs) down to output_partitions tasks;
+                # repartition keeps compute wide and only shuffles the
+                # small finished rows into the output files.
+                df = df.repartition(output_partitions)
             writer = df.write.mode("overwrite")
             for col in (partition_by or {}).get(name, []):
                 writer = writer.partitionBy(col)
@@ -100,9 +113,16 @@ class SnapshotStore:
         # fraction is what kills N->4N scaling efficiency).
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
-            for name, rel in pool.map(_write, tables.items()):
-                entry_tables[name] = rel
+        appends = appends or {}
+        all_items = list(tables.items()) + list(appends.items())
+        with ThreadPoolExecutor(max_workers=max(1, len(all_items))) as pool:
+            for name, rel in pool.map(_write, all_items):
+                if name in appends:
+                    prev_entry = entry_tables.get(name, [])
+                    prev_list = prev_entry if isinstance(prev_entry, list) else [prev_entry]
+                    entry_tables[name] = prev_list + [rel]
+                else:
+                    entry_tables[name] = rel
 
         manifest["snapshots"].append({
             "sid": sid,
