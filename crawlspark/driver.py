@@ -103,9 +103,13 @@ class WaveDriver:
         seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         return self.store.commit(0, {"frontier": fr, "seen": seen})
 
-    def reseed(self) -> int:
+    def reseed(self, seeds: pd.DataFrame | None = None) -> int:
         """Model the cron re-crawl (P6): flip fetched list pages back to
-        pending for the next cycle."""
+        pending for the next cycle. Pass the cycle's seed list to also
+        enqueue NEW list pages — a growing corpus adds pagination tail
+        pages that the previous cycle never saw (the reference reaches
+        them by re-paginating the API until LastPage each run,
+        vieclam24h/crawler.go:76-166)."""
         wave = self.store.latest_wave()
         fr = self.store.read(self.spark, "frontier")
         reset = fr.withColumn(
@@ -116,6 +120,20 @@ class WaveDriver:
             "wave",
             F.when((F.col("depth") == 0), F.lit(wave + 1)).otherwise(F.col("wave")),
         )
+        if seeds is not None:
+            pdf = seeds.copy()
+            pdf["source"] = self.source
+            pdf["id"] = pdf["url"]
+            pdf["last_updated_on"] = None
+            pdf["wave"] = wave + 1
+            pdf["rank"] = 0
+            pdf["priority"] = 0.0
+            pdf["state"] = "pending"
+            pdf["attempts"] = 0
+            fresh = self.spark.createDataFrame(
+                pdf[[f.name for f in FRONTIER_SCHEMA.fields]], schema=FRONTIER_SCHEMA)
+            fresh = fresh.join(fr.select("url"), "url", "left_anti")
+            reset = reset.unionByName(fresh.select(*reset.columns))
         return self.store.commit(wave + 1, {"frontier": reset})
 
     # -- one wave -----------------------------------------------------------

@@ -70,7 +70,9 @@ class TestFullCrawl:
         ~70% UNCHANGED, 10% new ids NEW (deduplicator.go:49-67)."""
         crawl_all(world)
         pages2 = spark.createDataFrame(synth.gen_pages_pandas(N, seed=42, wave=2))
-        world["drv"].reseed()
+        # new cycle's seed list includes pagination tail pages added by
+        # corpus growth — reseed must enqueue them (driver.reseed)
+        world["drv"].reseed(synth.gen_seed_list(N, seed=42, wave=2))
         stats = world["drv"].run_until_done(pages2, world["robots"], world["ranks"], 6)
         s1 = stats[0]  # the list-recrawl wave
         total = s1["new"] + s1["updated"] + s1["unchanged"]
