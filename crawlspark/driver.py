@@ -366,8 +366,16 @@ class WaveDriver:
 
     def run_until_done(self, pages: DataFrame, robots: DataFrame,
                        host_rank: DataFrame, max_waves: int = 10) -> list[dict]:
-        """P5 termination: loop while pending work remains."""
+        """P5 termination: loop while pending work remains. Starvation
+        guard: a wave that leaves the pending count unchanged made no
+        progress (e.g. zero robots budget) — stop instead of burning
+        no-op waves to the max_waves cap."""
         out = []
-        while self.pending_count() > 0 and len(out) < max_waves:
+        prev_pending = None
+        pending = self.pending_count()
+        while pending > 0 and len(out) < max_waves:
+            if prev_pending is not None and pending == prev_pending:
+                break
             out.append(self.run_wave(pages, robots, host_rank))
+            prev_pending, pending = pending, self.pending_count()
         return out

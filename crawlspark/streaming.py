@@ -1,0 +1,82 @@
+"""Structured Streaming surface (task brief: streams via readStream ->
+transform -> writeStream; watermarks for late data;
+applyInPandasWithState for custom stateful operators).
+
+The reference is cron-batch (SURVEY §2.7 P6), so streaming is an
+engine capability demonstration over the `events` table shape: the
+same hourly windowed aggregation the batch catalog runs
+(queries.q_events_hourly), plus a custom stateful running-counter
+operator. Both run under trigger(availableNow=True) so a batch-parity
+test can pin them against the DuckDB-checked batch results.
+
+Scale notes: the windowed agg is partial-aggregated before state
+(map-side combine) and keyed state is sharded by the grouping key;
+watermark bounds state size for unbounded streams.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet directory/file."""
+    return spark.readStream.schema(EVENTS_DDL).parquet(path)
+
+
+def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window x event_type counts with late-data watermark —
+    the streaming twin of queries.q_events_hourly."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_timestamp("w.start").cast("long").alias("hour_epoch"),
+                    "event_type", "n", "sum_value"))
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + max ts, emitted every micro-batch (the
+    streaming analogue of the seen-set's keyed state updates)."""
+
+    def update(key: Tuple[int], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (total, max_ts) = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += len(pdf)
+            if len(pdf):
+                max_ts = max(max_ts, int(pdf["ts"].astype("int64").max() // 10**9))
+        state.update((total, max_ts))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [total],
+                            "last_ts_epoch": [max_ts]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, total_events long, last_ts_epoch long",
+        stateStructType="total long, max_ts long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_available_now(stream_df: DataFrame, query_name: str,
+                      output_mode: str, checkpoint_dir: str) -> DataFrame:
+    """Drain the whole source as a stream (trigger availableNow) into a
+    memory sink; returns the result table. Checkpointed, so a rerun
+    resumes rather than reprocessing (exactly-once sink contract)."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(query_name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
