@@ -1,0 +1,102 @@
+"""Physical-plan shape audits: the plan properties that matter at
+100 TB, asserted on `.explain`/executedPlan text at sandbox scale.
+
+These pin: predicate pushdown to the parquet scan, column pruning,
+broadcast of small dimensions, map-side partial aggregation, top-k as
+TakeOrdered (not global sort), and — the crawl engine's core invariant
+— the fat html column never crossing a shuffle.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestScanPushdown:
+    def test_filter_pushed_to_parquet(self, spark):
+        df = Q.q_pricing_summary(spark, SF)
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_column_pruning(self, spark):
+        df = Q.q_pricing_summary(spark, SF)
+        m = re.search(r"FileScan parquet \[([^\]]*)\]", plan_of(df))
+        cols = m.group(1)
+        # only the 6 referenced columns are read, not the 11-column table
+        assert "l_orderkey" not in cols and "l_partkey" not in cols
+        assert "l_quantity" in cols and "l_shipdate" in cols
+
+
+class TestJoins:
+    def test_small_dims_broadcast(self, spark):
+        plan = plan_of(Q.q_nation_revenue(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+        assert "BroadcastExchange" in plan
+
+    def test_topk_not_global_sort(self, spark):
+        plan = plan_of(Q.q_top_orders(spark, SF))
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestAggregation:
+    def test_partial_then_final(self, spark):
+        plan = plan_of(Q.q_pricing_summary(spark, SF))
+        # map-side combine: partial_sum before the exchange, then merge
+        assert "partial_sum" in plan or "partial_avg" in plan
+        assert "Exchange hashpartitioning" in plan
+
+
+class TestCrawlPipeline:
+    def test_html_never_crosses_a_shuffle(self, spark):
+        """The engine invariant: extraction consumes html straight off
+        the scan (broadcast join), so no Exchange carries html bytes."""
+        from crawlspark import synth
+        from crawlspark.extract import udfs as extract_udfs
+
+        pages = spark.createDataFrame(synth.gen_pages_pandas(50))
+        urls = pages.select("url")
+        ex_udf, _, _ = extract_udfs()
+        fetched = (pages.select("url", F.col("html").cast("string").alias("h"))
+                   .join(F.broadcast(urls), "url", "inner")
+                   .withColumn("x", ex_udf(F.col("h"))).drop("h")
+                   .select("url", "x.title"))
+        plan = plan_of(fetched)
+        # every Exchange in the plan must not carry the html column
+        for chunk in plan.split("Exchange")[1:]:
+            first_line = chunk.splitlines()[0]
+            assert "html" not in first_line and " h#" not in first_line
+
+    def test_extraction_is_single_python_stage(self, spark):
+        from crawlspark import synth
+        from crawlspark.extract import udfs as extract_udfs
+
+        pages = spark.createDataFrame(synth.gen_pages_pandas(50))
+        ex_udf, _, _ = extract_udfs()
+        df = (pages.withColumn("x", ex_udf(F.col("html").cast("string")))
+              .select("url", "x.job_description"))
+        plan = plan_of(df)
+        assert plan.count("ArrowEvalPython") == 1
+        assert "Exchange" not in plan  # narrow end to end
+
+    def test_dedup_classify_is_one_join(self, spark):
+        from crawlspark import dedup as D
+        from crawlspark.schemas import SEEN_SCHEMA
+
+        seen = spark.createDataFrame([], SEEN_SCHEMA)
+        cands = spark.createDataFrame(
+            [("s", "1", "h", "100")], "source string, id string, host string, last_updated_on string")
+        plan = optimized_of(D.classify(cands, seen))
+        assert plan.count("Join LeftOuter") == 1
