@@ -35,6 +35,41 @@ N_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "120000"))
 WARM_PAGES = 1500
 
 
+_BW_SCRIPT = r"""
+import multiprocessing as mp, sys, time
+import numpy as np
+
+def bw(_):
+    a = np.zeros(100_000_000 // 8)
+    b = np.ones_like(a)
+    t0 = time.time(); it = 0
+    while time.time() - t0 < 2.5:
+        np.copyto(a, b); it += 1
+    return it * 0.2  # GB moved (read+write of 100 MB)
+
+if __name__ == "__main__":
+    procs = int(sys.argv[1])
+    with mp.Pool(procs) as pool:
+        t0 = time.time()
+        res = pool.map(bw, range(procs))
+        wall = time.time() - t0
+    print(sum(res) / wall)
+"""
+
+
+def memory_bandwidth(procs: int) -> float:
+    """Aggregate memcpy GB/s at a given process count — the hardware
+    scaling ceiling for any data-moving engine on this box. (Measured:
+    this sandbox's bandwidth COLLAPSES ~7x beyond ~8 concurrent
+    memory-heavy workers; see BENCH.md.) Runs in a clean subprocess —
+    forking a JVM-attached parent is not safe."""
+    import subprocess
+
+    out = subprocess.run([sys.executable, "-c", _BW_SCRIPT, str(procs)],
+                         capture_output=True, text=True, timeout=120)
+    return float(out.stdout.strip())
+
+
 def _spark(cpus: int):
     from crawlspark.session import get_spark
 
@@ -138,6 +173,13 @@ def main():
     thr_hi = urls_hi / secs_hi
     thr_lo = urls_lo / secs_lo
     eff = thr_hi / ((scale_hi / scale_lo) * thr_lo)
+    # hardware ceiling: how the BOX's memory bandwidth itself scales
+    # over the same parallelism step; engine efficiency is reported
+    # raw AND normalized by it (a bandwidth-bound engine cannot scale
+    # past the memory subsystem)
+    bw_lo = memory_bandwidth(scale_lo)
+    bw_hi = memory_bandwidth(scale_hi)
+    hw_scaling = (bw_hi / bw_lo) / (scale_hi / scale_lo)
     out = {
         "metric": f"urls_per_sec_local{CPUS}",
         "value": round(thr_full, 2),
@@ -155,6 +197,10 @@ def main():
             "thr_lo": round(thr_lo, 2),
             "cpus_lo": scale_lo,
             "scaling_efficiency": round(eff, 3),
+            "hw_bandwidth_gbps_lo": round(bw_lo, 1),
+            "hw_bandwidth_gbps_hi": round(bw_hi, 1),
+            "hw_scaling_ceiling": round(hw_scaling, 3),
+            "scaling_efficiency_hw_normalized": round(min(eff / max(hw_scaling, 1e-9), 1.0), 3),
             "determinism_ok": fp_full == fp_hi == fp_lo,
         },
     }
