@@ -83,6 +83,11 @@ class _SanitizeParser(HTMLParser):
         self.strict = strict
         self.out: list[str] = []
         self._skip_depth = 0
+        # bluemonday drops an element allowed only via attribute policy
+        # (a[href]) once every attribute is rejected — only the inner
+        # text survives. Count suppressed anchors so the matching
+        # </a> is dropped too.
+        self._a_suppressed = 0
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_CONTENT_TAGS:
@@ -95,7 +100,7 @@ class _SanitizeParser(HTMLParser):
             if href is not None and _href_allowed(href):
                 self.out.append(f'<a href="{go_escape(href)}">')
             else:
-                self.out.append("<a>")
+                self._a_suppressed += 1
         else:
             self.out.append(f"<{tag}>")
 
@@ -104,6 +109,11 @@ class _SanitizeParser(HTMLParser):
             return
         if self.strict or self._skip_depth or tag not in _ALLOWED_TAGS:
             return
+        if tag == "a":
+            href = next((v for k, v in attrs if k == "href" and v is not None), None)
+            if href is not None and _href_allowed(href):
+                self.out.append(f'<a href="{go_escape(href)}"/>')
+            return  # attribute-less <a/> dropped (bluemonday parity)
         self.out.append(f"<{tag}/>")
 
     def handle_endtag(self, tag):
@@ -114,6 +124,9 @@ class _SanitizeParser(HTMLParser):
         if self.strict or self._skip_depth or tag not in _ALLOWED_TAGS:
             return
         if tag in _VOID_TAGS:
+            return
+        if tag == "a" and self._a_suppressed:
+            self._a_suppressed -= 1
             return
         self.out.append(f"</{tag}>")
 

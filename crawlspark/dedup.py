@@ -15,13 +15,18 @@ Scale design (10^10-URL frontier):
   (frontier.py) — salting only where skew hurts, never where semantics
   need the real key.
 - Bloom fast path: per-salt blooms built distributively with
-  applyInPandas and broadcast to probe candidates; misses are
-  definitively NEW and skip the join entirely. At 10^10 keys and 10
-  bits/key this is ~12.5 GB total across 256 salts => ~50 MB per salt
-  bucket, each broadcastable where the candidate partition needs it.
+  applyInPandas, updated INCREMENTALLY per wave (build from the wave's
+  delta at fixed capacity, OR-merge into the stored bloom table —
+  O(delta + n_salts) per wave), and probed via COGROUP on salt so each
+  probe task deserializes only its own salt's bits. At 10^10 keys and
+  10 bits/key that is ~12.5 GB total across 256 salts => ~50 MB per
+  salt bucket per task — never collected to the driver, never shipped
+  whole to any executor.
 - TTL without Redis: lazy expiry — reads filter expires_at >= now;
   a compaction wave physically drops expired rows (same observable
-  semantics as Redis per-key TTL, deduplicator.go:76-84).
+  semantics as Redis per-key TTL, deduplicator.go:76-84) and rebuilds
+  blooms from the surviving keys (resizing m if the capacity estimate
+  drifted).
 """
 
 from __future__ import annotations
@@ -65,16 +70,25 @@ def classify(candidates: DataFrame, seen: DataFrame,
 
     candidates: needs (source, id, last_updated_on). Adds ``status``.
     One left join replaces one Redis GET per job.
+
+    NULL semantics match the reference's Redis string compare: presence
+    is tracked by an explicit marker (a stored NULL value is still
+    *seen*), and value comparison is null-safe — candidate NULL vs
+    stored non-NULL (or vice versa) is UPDATED, NULL vs NULL is
+    UNCHANGED (deduplicator.go:60-66: the Redis GET distinguishes
+    key-missing from empty-value).
     """
     s = (seen_live(seen, now)
-         .select("source", "id", F.col("last_updated_on").alias("_seen_val")))
+         .select("source", "id", F.col("last_updated_on").alias("_seen_val"),
+                 F.lit(True).alias("_seen")))
     joined = candidates.join(s, ["source", "id"], "left")
     return joined.withColumn(
         "status",
-        F.when(F.col("_seen_val").isNull(), F.lit(STATUS_NEW))
-        .when(F.col("_seen_val") != F.col("last_updated_on"), F.lit(STATUS_UPDATED))
+        F.when(F.col("_seen").isNull(), F.lit(STATUS_NEW))
+        .when(~F.col("_seen_val").eqNullSafe(F.col("last_updated_on")),
+              F.lit(STATUS_UPDATED))
         .otherwise(F.lit(STATUS_UNCHANGED)),
-    ).drop("_seen_val")
+    ).drop("_seen_val", "_seen")
 
 
 def expires_at_expr(expired_on: Column, now: Column | None = None,
@@ -87,26 +101,39 @@ def expires_at_expr(expired_on: Column, now: Column | None = None,
     return base + F.make_interval(days=F.lit(1))
 
 
-def mark_seen(seen: DataFrame, emitted: DataFrame,
-              now: Column | None = None, default_ttl_days: int = 30,
-              n_salts: int = N_SALTS) -> DataFrame:
-    """D2 MarkSeenWithTTL as a keyed MERGE (last-write-wins on
-    (source,id)) — publish-before-mark ordering is enforced by the
-    caller committing frontier and seen in ONE snapshot (at-least-once
-    of publisher.go:30-83 becomes exactly-once under atomic commit).
+def seen_delta(emitted: DataFrame, now: Column | None = None,
+               default_ttl_days: int = 30,
+               n_salts: int = N_SALTS) -> DataFrame:
+    """D2 MarkSeenWithTTL, delta form: emit ONLY the wave's new/updated
+    seen rows (O(delta) — never touches the stored seen table). The
+    MERGE semantics (last-write-wins on (source,id), the Redis SET of
+    deduplicator.go:69-89) resolve at read time via the driver's
+    seen_view window + periodic compaction — the Iceberg
+    merge-on-read analogue.
 
     emitted: (source, id, host, last_updated_on[, expired_on timestamp]).
     """
     cols = ["source", "id", "url_hash", "last_updated_on", "expires_at", "salt"]
     exp = F.col("expired_on") if "expired_on" in emitted.columns \
         else F.lit(None).cast("timestamp")
-    new_rows = emitted.select(
+    return emitted.select(
         "source", "id",
         url_hash(F.col("source"), F.col("id")).alias("url_hash"),
         F.col("last_updated_on"),
         expires_at_expr(exp, now, default_ttl_days).alias("expires_at"),
         salt_of(F.col("host"), n_salts).alias("salt"),
-    )
+    ).select(*cols)
+
+
+def mark_seen(seen: DataFrame, emitted: DataFrame,
+              now: Column | None = None, default_ttl_days: int = 30,
+              n_salts: int = N_SALTS) -> DataFrame:
+    """Eager MERGE form of seen_delta (anti-join + union) — API
+    convenience for bounded states; the wave driver uses seen_delta +
+    read-side resolution so per-wave cost never scales with the total
+    seen-set size."""
+    cols = ["source", "id", "url_hash", "last_updated_on", "expires_at", "salt"]
+    new_rows = seen_delta(emitted, now, default_ttl_days, n_salts)
     kept = seen.join(new_rows.select("source", "id"), ["source", "id"], "left_anti")
     return kept.select(*cols).unionByName(new_rows.select(*cols))
 
@@ -150,68 +177,111 @@ def _bloom_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)).astype(np.int64)
 
 
+BLOOM_SCHEMA = "salt int, m long, k int, bits binary, n_keys long"
+
+
 def build_blooms(seen: DataFrame, fpp: float = 0.01,
-                 n_salts: int = N_SALTS) -> pd.DataFrame:
+                 capacity_per_salt: int | None = None) -> DataFrame:
     """Build one bloom per salt bucket, distributively
-    (groupBy(salt).applyInPandas), then collect the small (salt, bits)
-    table to the driver for broadcast. Scale path: per-bucket blooms
-    stay bounded because salting splits hot hosts."""
+    (groupBy(salt).applyInPandas). Returns a Spark DataFrame
+    (salt, m, k, bits, n_keys) — never collected to the driver; the
+    probe side cogroups on salt so each task touches exactly one salt's
+    bits (the 10^10-key design point is ~50 MB per salt bucket, which
+    must not be closure-shipped or broadcast in aggregate).
+
+    capacity_per_salt fixes m/k for the stated key capacity so blooms
+    built from per-wave DELTAS can be OR-merged into the stored blooms
+    (merge_blooms) — the incremental path. Without it, m is sized from
+    the batch itself (one-shot builds)."""
+    if capacity_per_salt is not None:
+        m_fixed, k_fixed = bloom_params(capacity_per_salt, fpp)
+    else:
+        m_fixed = k_fixed = None
+
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf["url_hash"].to_numpy()
-        m, k = bloom_params(len(hashes), fpp)
+        if m_fixed is not None:
+            m, k = m_fixed, k_fixed
+        else:
+            m, k = bloom_params(len(hashes), fpp)
         bits = np.zeros(m // 64, dtype=np.uint64)
         pos = _bloom_positions(hashes, m, k).ravel()
         np.bitwise_or.at(bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
         return pd.DataFrame({"salt": [int(pdf["salt"].iloc[0])], "m": [m],
-                             "k": [k], "bits": [bits.tobytes()]})
+                             "k": [k], "bits": [bits.tobytes()],
+                             "n_keys": [len(hashes)]})
 
-    out = (seen.select("salt", "url_hash")
-           .groupBy("salt")
-           .applyInPandas(build, schema="salt int, m long, k int, bits binary"))
-    return out.toPandas()
+    return (seen.select("salt", "url_hash")
+            .groupBy("salt")
+            .applyInPandas(build, schema=BLOOM_SCHEMA))
 
 
-def bloom_might_contain(candidates: DataFrame, blooms: pd.DataFrame,
+def merge_blooms(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge two bloom tables built at the SAME capacity (same m/k
+    per salt): per-salt bitwise OR — O(n_salts) rows per wave, never
+    O(total keys). Salts present on only one side pass through."""
+    both = (prev.select("salt", "m", "k", "bits", "n_keys")
+            .unionByName(delta.select("salt", "m", "k", "bits", "n_keys")))
+
+    def orr(pdf: pd.DataFrame) -> pd.DataFrame:
+        ms = pdf["m"].unique()
+        if len(ms) != 1:
+            raise ValueError(
+                f"bloom m mismatch in salt {pdf['salt'].iloc[0]}: {ms}; "
+                "rebuild blooms at one capacity (compaction) before merging")
+        acc = np.zeros(int(ms[0]) // 64, dtype=np.uint64)
+        for b in pdf["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pd.DataFrame({"salt": [int(pdf["salt"].iloc[0])],
+                             "m": [int(pdf["m"].iloc[0])],
+                             "k": [int(pdf["k"].iloc[0])],
+                             "bits": [acc.tobytes()],
+                             "n_keys": [int(pdf["n_keys"].sum())]})
+
+    return both.groupBy("salt").applyInPandas(orr, schema=BLOOM_SCHEMA)
+
+
+def bloom_might_contain(candidates: DataFrame, blooms: DataFrame,
                         hash_col: str = "url_hash",
                         salt_col: str = "salt") -> DataFrame:
     """Adds ``might_contain`` (false => definitively NEW, skip the join).
-    The bloom table is broadcast inside the pandas UDF closure."""
-    lut = {int(r["salt"]): (np.frombuffer(r["bits"], dtype=np.uint64),
-                            int(r["m"]), int(r["k"]))
-           for _, r in blooms.iterrows()}
 
-    from pyspark.sql.functions import pandas_udf
+    Distribution: candidates COGROUP blooms on salt — each task
+    deserializes ONLY its salt's bit array (never the full bloom set;
+    no driver collect, no closure capture). The salt shuffle of the
+    candidate metadata is one the classify join pays anyway."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", might_contain boolean"
 
-    @pandas_udf("boolean")
-    def probe(hashes: pd.Series, salts: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=bool)
-        hs = hashes.to_numpy()
-        ss = salts.to_numpy()
-        for salt in np.unique(ss):
-            entry = lut.get(int(salt))
-            mask = ss == salt
-            if entry is None:
-                continue  # empty bucket: stays False (definitively new)
-            bits, m, k = entry
-            pos = _bloom_positions(hs[mask].astype(np.uint64), m, k)
-            hit = np.ones(mask.sum(), dtype=bool)
-            for row in pos:
-                hit &= (bits[row // 64] >> (row % 64).astype(np.uint64)) & np.uint64(1) != 0
-            out[mask] = hit
-        return pd.Series(out)
+    def probe(cand: pd.DataFrame, bl: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return cand.assign(might_contain=pd.Series([], dtype=bool))
+        if bl.empty:
+            return cand.assign(might_contain=False)  # empty bucket: all new
+        bits = np.frombuffer(bl["bits"].iloc[0], dtype=np.uint64)
+        m, k = int(bl["m"].iloc[0]), int(bl["k"].iloc[0])
+        pos = _bloom_positions(cand[hash_col].to_numpy().astype(np.uint64), m, k)
+        hit = np.ones(len(cand), dtype=bool)
+        for row in pos:
+            hit &= (bits[row // 64] >> (row % 64).astype(np.uint64)) & np.uint64(1) != 0
+        return cand.assign(might_contain=hit)
 
-    return candidates.withColumn("might_contain",
-                                 probe(F.col(hash_col), F.col(salt_col)))
+    return (candidates.groupBy(salt_col)
+            .cogroup(blooms.groupBy("salt"))
+            .applyInPandas(probe, schema=out_schema))
 
 
 def classify_with_bloom(candidates: DataFrame, seen: DataFrame,
-                        blooms: pd.DataFrame,
-                        now: Column | None = None) -> DataFrame:
+                        blooms: DataFrame, now: Column | None = None,
+                        n_salts: int = N_SALTS) -> DataFrame:
     """D1 with the bloom pre-filter: bloom misses short-circuit to NEW
-    without joining; only possible hits shuffle into the seen join."""
+    without joining; only possible hits shuffle into the seen join.
+    n_salts MUST match the salt modulus the seen/bloom tables were
+    built with (threaded from the driver, not defaulted silently)."""
     cand = candidates.withColumn(
         "url_hash", url_hash(F.col("source"), F.col("id"))
-    ).withColumn("salt", salt_of(F.col("host")))
+    ).withColumn("salt", salt_of(F.col("host"), n_salts))
     cand = bloom_might_contain(cand, blooms)
     misses = (cand.filter(~F.col("might_contain"))
                   .withColumn("status", F.lit(STATUS_NEW)))

@@ -210,10 +210,10 @@ class WaveDriver:
                  .withColumn("host", host_of(F.col("url"))))
 
         if self.use_bloom and not seen.isEmpty():
-            blooms = D.build_blooms(seen, n_salts=self.n_salts)
+            blooms = D.build_blooms(seen)
             classified = D.classify_with_bloom(
-                links, seen, blooms,
-                F.to_timestamp(F.lit(str(ws)))).drop("url_hash", "salt")
+                links, seen, blooms, F.to_timestamp(F.lit(str(ws))),
+                n_salts=self.n_salts).drop("url_hash", "salt")
         else:
             classified = D.classify(links, seen, F.to_timestamp(F.lit(str(ws))))
         classified = classified.persist()

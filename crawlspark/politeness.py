@@ -1,5 +1,5 @@
 """Politeness scheduling (SURVEY §2.7 P1-P4): per-host token budgets
-with robots gates, as a grouped-map pandas UDF keyed by TRUE host.
+with robots gates, as pure JVM window expressions keyed by TRUE host.
 
 The reference sleeps between requests (3s+jitter list pages,
 vieclam24h/crawler.go:169-171; 5s+jitter details, scraper.go:29-32,
@@ -8,25 +8,31 @@ Wall-clock sleeps don't exist in a batch engine; the same *budget* is
 enforced logically:
 
 - each frontier row gets a deterministic ``scheduled_ts`` =
-  wave_start + slot * crawl_delay(host), slot assigned in FIFO
-  priority order within the host;
-- rows whose slot exceeds the host's tokens_per_wave are DEFERRED to
+  wave_start + slot * crawl_delay(host, class), slot assigned in FIFO
+  priority order within the (host, class) group;
+- rows whose slot exceeds the class's tokens_per_wave are DEFERRED to
   the next wave (state='deferred');
 - robots disallow-prefix matches are DISALLOWED and never fetched.
+
+Delay classes (P2): the reference runs list crawling and detail
+scraping as separate processes with separate delays (3 s lists,
+5 s details — scraper.go:29-32). When the robots table carries
+``detail_delay_ms`` / ``detail_tokens_per_wave`` columns, depth>0 rows
+form their own per-host slot sequence with the detail budget; without
+those columns the single-class budget applies to every depth
+(backward-compatible).
 
 Jitter is dropped (deterministic schedule is the north_rule's
 "holding fetch-schedule determinism"); the budget math is unchanged
 because jitter never changed the reference's per-host ordering either
 (requests are sequential per process).
 
-Skew note: this grouped-map MUST key by true host — politeness is a
-per-host semantic constraint, not a perf accident (SURVEY §4). The
-Zipf-hot host makes one fat group; its pandas payload is only the
-frontier row metadata (no html), so even a 30%-of-frontier host at
-sandbox scale is a few MB. At 10^10 scale the wave is budget-bounded
-per host anyway (tokens_per_wave rows survive), so the group size is
-capped by budget, not by corpus skew — the deferral itself is the
-skew control.
+Scale note: this was a grouped-map pandas UDF in round 1; slot
+assignment is plain window arithmetic (delay/tokens arrive via the
+broadcast robots join), so it is now whole-stage-codegen'd JVM — the
+Zipf-hot host still lands in one window partition, but spills instead
+of funnelling every row through a single Python worker, and the plan
+has no FlatMapGroupsInPandas (pinned in tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -34,10 +40,10 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-DEFAULT_DELAY_MS = 3000  # reference list default (crawler.go:40-42)
-
-SCHEDULED_SCHEMA_SUFFIX = ("slot int, scheduled_ts timestamp, state string")
+DEFAULT_DELAY_MS = 3000         # reference list default (crawler.go:40-42)
+DEFAULT_DETAIL_DELAY_MS = 5000  # reference detail default (scraper.go:29-32)
 
 
 def join_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
@@ -54,40 +60,52 @@ def join_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def schedule(frontier: DataFrame, robots: DataFrame, wave_start,
-             default_delay_ms: int = DEFAULT_DELAY_MS) -> DataFrame:
-    """Assign (slot, scheduled_ts, state) per host group.
+             default_delay_ms: int = DEFAULT_DELAY_MS,
+             default_detail_delay_ms: int = DEFAULT_DETAIL_DELAY_MS) -> DataFrame:
+    """Assign (slot, scheduled_ts, state) per (host[, delay-class]) group.
 
     state: 'scheduled' (fetch this wave) | 'deferred' (budget exhausted)
     | 'disallowed' (robots). Deterministic: FIFO priority order inside
-    the host, no wall clock, no RNG.
+    the group, no wall clock, no RNG. Pure Column expressions.
     """
     fr = join_robots(frontier, robots)
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in frontier.schema.fields
-        if f.name not in ("state",)
-    ) + ", " + SCHEDULED_SCHEMA_SUFFIX
-
-    ws = pd.Timestamp(wave_start)
     keep_cols = [f.name for f in frontier.schema.fields if f.name != "state"]
 
-    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
-        delay = int(pdf["crawl_delay_ms"].dropna().iloc[0]) \
-            if pdf["crawl_delay_ms"].notna().any() else default_delay_ms
-        tokens = int(pdf["tokens_per_wave"].dropna().iloc[0]) \
-            if pdf["tokens_per_wave"].notna().any() else 10**9
-        pdf = pdf.sort_values(
-            ["priority", "wave", "page", "rank", "url"],
-            ascending=[False, True, True, True, True], kind="stable")
-        allowed = ~pdf["_disallowed"].fillna(False).to_numpy()
-        slot = allowed.cumsum() - 1
-        out = pdf[keep_cols].copy()
-        out["slot"] = slot.astype("int32")
-        out["scheduled_ts"] = ws + pd.to_timedelta(slot * delay, unit="ms")
-        out["state"] = "scheduled"
-        out.loc[slot >= tokens, "state"] = "deferred"
-        out.loc[~allowed, ["state"]] = "disallowed"
-        out.loc[~allowed, "slot"] = -1
-        out.loc[~allowed, "scheduled_ts"] = pd.NaT
-        return out
+    two_class = "detail_delay_ms" in robots.columns
+    is_detail = F.col("depth") > 0
+    delay = F.coalesce(F.col("crawl_delay_ms").cast("long"),
+                       F.lit(default_delay_ms).cast("long"))
+    tokens = F.coalesce(F.col("tokens_per_wave").cast("long"),
+                        F.lit(10**9).cast("long"))
+    part_cols: list[Column] = [F.col("host")]
+    if two_class:
+        d_delay = F.coalesce(F.col("detail_delay_ms").cast("long"),
+                             F.lit(default_detail_delay_ms).cast("long"))
+        delay = F.when(is_detail, d_delay).otherwise(delay)
+        if "detail_tokens_per_wave" in robots.columns:
+            tokens = F.when(
+                is_detail,
+                F.coalesce(F.col("detail_tokens_per_wave").cast("long"), tokens)
+            ).otherwise(tokens)
+        part_cols.append(is_detail.alias("_class"))
 
-    return fr.groupBy("host").applyInPandas(assign, schema=out_schema)
+    # FIFO priority order (matches frontier.order_cols; null placement
+    # mirrors the round-1 pandas sort: NaN last in every direction)
+    w = (Window.partitionBy(*part_cols)
+         .orderBy(F.col("priority").desc_nulls_last(), F.col("wave").asc(),
+                  F.col("page").asc_nulls_last(), F.col("rank").asc_nulls_last(),
+                  F.col("url").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    allowed = ~F.coalesce(F.col("_disallowed"), F.lit(False))
+    slot_raw = F.sum(allowed.cast("long")).over(w) - 1
+    slot = F.when(allowed, slot_raw).otherwise(F.lit(-1)).cast("int")
+
+    ws_ms = F.unix_millis(F.to_timestamp(F.lit(str(pd.Timestamp(wave_start)))))
+    sched_ts = F.when(
+        allowed, F.timestamp_millis(ws_ms + slot.cast("long") * delay))
+    state = (F.when(~allowed, F.lit("disallowed"))
+             .when(slot.cast("long") >= tokens, F.lit("deferred"))
+             .otherwise(F.lit("scheduled")))
+
+    return fr.select(*keep_cols, slot.alias("slot"),
+                     sched_ts.alias("scheduled_ts"), state.alias("state"))

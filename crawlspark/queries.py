@@ -160,19 +160,25 @@ def q_dedup_three_way(spark, sf):
     """D1 three-way classifier (deduplicator.go:49-67) — seen set =
     orders before the cutoff valued by o_orderpriority; candidates =
     all orders, value bumped for expensive ones => NEW / UPDATED /
-    UNCHANGED, exercised through dedup.classify (the engine operator)."""
+    UNCHANGED, exercised through dedup.classify (the engine operator).
+    NULL coverage: stored value NULL for key%11==0 (still *seen* — a
+    presence marker, not a missing key), candidate value NULL for
+    key%13==0; compare is null-safe (Redis GET semantics,
+    deduplicator.go:60-66)."""
     o = _t(spark, sf, "orders")
     seen = (o.filter(F.col("o_orderdate") < _CUTOFF)
             .select(F.lit("tpch").alias("source"),
                     F.col("o_orderkey").cast("string").alias("id"),
                     F.lit(None).cast("long").alias("url_hash"),
-                    F.col("o_orderpriority").alias("last_updated_on"),
+                    F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+                    .otherwise(F.col("o_orderpriority")).alias("last_updated_on"),
                     F.lit(None).cast("timestamp").alias("expires_at"),
                     F.lit(0).alias("salt")))
     cands = o.select(
         F.lit("tpch").alias("source"),
         F.col("o_orderkey").cast("string").alias("id"),
-        F.when(F.col("o_totalprice") > 150000, F.lit("BUMPED"))
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None))
+        .when(F.col("o_totalprice") > 150000, F.lit("BUMPED"))
         .otherwise(F.col("o_orderpriority")).alias("last_updated_on"))
     out = D.classify(cands, seen)
     return (out.select(F.col("id").cast("long").alias("o_orderkey"), "status")
@@ -181,16 +187,19 @@ def q_dedup_three_way(spark, sf):
 
 SQL_DEDUP_THREE_WAY = f"""
 WITH seen AS (
-  SELECT o_orderkey, o_orderpriority AS val FROM orders
-  WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+  SELECT o_orderkey, TRUE AS present,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END AS val
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
 ), cand AS (
   SELECT o_orderkey,
-         CASE WHEN o_totalprice > 150000 THEN 'BUMPED' ELSE o_orderpriority END AS val
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              WHEN o_totalprice > 150000 THEN 'BUMPED'
+              ELSE o_orderpriority END AS val
   FROM orders
 )
 SELECT c.o_orderkey,
-       CASE WHEN s.val IS NULL THEN 'NEW'
-            WHEN s.val != c.val THEN 'UPDATED'
+       CASE WHEN s.present IS NULL THEN 'NEW'
+            WHEN s.val IS DISTINCT FROM c.val THEN 'UPDATED'
             ELSE 'UNCHANGED' END AS status
 FROM cand c LEFT JOIN seen s USING (o_orderkey) ORDER BY c.o_orderkey
 """
@@ -279,6 +288,59 @@ WITH ranked AS (
 SELECT event_id, slot,
        (epoch(TIMESTAMP '2026-01-01 00:00:00') + (slot * 3000) // 1000)::BIGINT AS sched_epoch,
        CASE WHEN slot >= 100 THEN 'deferred' ELSE 'scheduled' END AS state
+FROM ranked ORDER BY event_id
+"""
+
+
+def q_politeness_two_class(spark, sf):
+    """P2 per-class delay budgets (scraper.go:29-32 vs crawler.go:40-42):
+    list rows (depth=0) get 3000ms/100 tokens, detail rows (depth=1)
+    get 5000ms/50 tokens, each class its own per-host slot sequence —
+    through the REAL scheduler; oracle = two-key window functions."""
+    from . import politeness
+
+    e = _t(spark, sf, "events")
+    frontier = e.select(
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("url"),
+        F.col("user_id").cast("string").alias("host"),
+        F.lit("ev").alias("source"),
+        F.col("event_id").cast("string").alias("id"),
+        F.lit(None).cast("string").alias("last_updated_on"),
+        (F.col("event_id") % 2).cast("int").alias("depth"),
+        F.lit(0).alias("wave"),
+        F.lit(0).alias("page"),
+        F.lit(0).alias("rank"),
+        F.col("value").cast("double").alias("priority"),
+        F.lit("pending").alias("state"),
+        F.lit(0).alias("attempts"),
+    )
+    robots = frontier.select("host").distinct().select(
+        "host", F.lit(3000).alias("crawl_delay_ms"),
+        F.lit(None).cast("array<string>").alias("disallow_prefixes"),
+        F.lit(100).alias("tokens_per_wave"),
+        F.lit(5000).alias("detail_delay_ms"),
+        F.lit(50).alias("detail_tokens_per_wave"))
+    sched = politeness.schedule(frontier, robots, "2026-01-01 00:00:00")
+    return (sched.select(F.col("id").cast("long").alias("event_id"),
+                         F.col("slot").cast("long").alias("slot"),
+                         F.unix_timestamp("scheduled_ts").cast("long").alias("sched_epoch"),
+                         "state")
+            .orderBy("event_id"))
+
+
+SQL_POLITENESS_TWO_CLASS = """
+WITH ranked AS (
+  SELECT event_id, event_id % 2 AS depth,
+         (row_number() OVER (PARTITION BY user_id, event_id % 2
+             ORDER BY value DESC, lpad(event_id::VARCHAR, 12, '0') ASC) - 1)::BIGINT AS slot
+  FROM events
+)
+SELECT event_id, slot,
+       (epoch(TIMESTAMP '2026-01-01 00:00:00')
+        + (slot * CASE WHEN depth = 1 THEN 5000 ELSE 3000 END) // 1000)::BIGINT AS sched_epoch,
+       CASE WHEN depth = 1 AND slot >= 50 THEN 'deferred'
+            WHEN depth = 0 AND slot >= 100 THEN 'deferred'
+            ELSE 'scheduled' END AS state
 FROM ranked ORDER BY event_id
 """
 
@@ -680,6 +742,7 @@ QUERIES = {
     "seen_ttl": (q_seen_ttl, SQL_SEEN_TTL),
     "frontier_order": (q_frontier_order, SQL_FRONTIER_ORDER),
     "politeness_schedule": (q_politeness_schedule, SQL_POLITENESS),
+    "politeness_two_class": (q_politeness_two_class, SQL_POLITENESS_TWO_CLASS),
     "job_id_regex": (q_job_id_regex, SQL_JOB_ID_REGEX),
     "pagination_rewrite": (q_pagination_rewrite, SQL_PAGINATION),
     "experience_tags": (q_experience_tags, SQL_EXPERIENCE_TAGS),

@@ -61,8 +61,12 @@ class TestCleanHtmlAllowlist:
         assert clean_html('<a href="https://x.vn/p">l</a>') == '<a href="https://x.vn/p">l</a>'
         assert clean_html('<a href="mailto:a@b.c">m</a>') == '<a href="mailto:a@b.c">m</a>'
         assert clean_html('<a href="/rel">r</a>') == '<a href="/rel">r</a>'
-        # javascript: stripped (cleaner.go:29 AllowURLSchemes)
-        assert clean_html('<a href="javascript:evil()">j</a>') == "<a>j</a>"
+        # javascript: rejected -> bluemonday drops the whole element
+        # (a is allowed only via AllowAttrs("href"), cleaner.go:26-29);
+        # inner text survives, the tags do not
+        assert clean_html('<a href="javascript:evil()">j</a>') == "j"
+        assert clean_html("<a>no href</a>") == "no href"
+        assert clean_html('<p><a href="javascript:x">j</a>k</p>') == "<p>jk</p>"
 
     def test_script_content_gone(self):
         assert clean_html("<div>a<script>x()</script>b</div>") == "<div>ab</div>"

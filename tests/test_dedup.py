@@ -143,3 +143,83 @@ class TestSimhash:
         df = spark.createDataFrame(pd.DataFrame({"t": texts}))
         got = [r["s"] for r in df.select(D.simhash_udf()(F.col("t")).alias("s")).collect()]
         assert got == [D.simhash64_py(t) for t in texts]
+
+
+class TestNullSemantics:
+    def test_null_value_handling(self, spark):
+        """deduplicator.go:60-66: Redis GET distinguishes key-missing
+        from empty/NULL value — presence marker + null-safe compare."""
+        seen = _seen(spark, [
+            ("s", "1", 0, None, "2026-02-01", 0),    # seen, stored NULL
+            ("s", "2", 0, "100", "2026-02-01", 0),   # seen, non-null
+        ])
+        cands = _cands(spark, [
+            ("s", "1", "h", None),    # NULL vs stored NULL -> UNCHANGED
+            ("s", "2", "h", None),    # NULL vs non-null    -> UPDATED
+            ("s", "3", "h", None),    # unseen              -> NEW
+        ])
+        got = {r["id"]: r["status"]
+               for r in D.classify(cands, seen, _now()).collect()}
+        assert got == {"1": "UNCHANGED", "2": "UPDATED", "3": "NEW"}
+
+    def test_seen_null_vs_candidate_value(self, spark):
+        seen = _seen(spark, [("s", "1", 0, None, "2026-02-01", 0)])
+        cands = _cands(spark, [("s", "1", "h", "v")])
+        got = D.classify(cands, seen, _now()).first()["status"]
+        assert got == "UPDATED"
+
+
+class TestBloomDistribution:
+    def test_n_salts_threaded(self, spark):
+        """classify_with_bloom must salt candidates with the SAME
+        modulus the seen table was built with (n_salts != default)."""
+        n_salts = 4
+        seen = _seen(spark, [("s", str(i), 0, "100", "2026-02-01", 0)
+                             for i in range(60)])
+        seen = (seen.withColumn("url_hash", D.url_hash(F.col("source"), F.col("id")))
+                .withColumn("salt", D.salt_of(F.col("id"), n_salts)))
+        cands = _cands(spark, [("s", str(i), str(i), "100") for i in range(120)])
+        cands = cands.withColumn("host", F.col("id"))
+        blooms = D.build_blooms(seen)
+        got = {r["id"]: r["status"]
+               for r in D.classify_with_bloom(cands, seen, blooms, _now(),
+                                              n_salts=n_salts).collect()}
+        want = {r["id"]: r["status"]
+                for r in D.classify(
+                    cands.withColumn("url_hash", D.url_hash(F.col("source"), F.col("id")))
+                         .withColumn("salt", D.salt_of(F.col("id"), n_salts)),
+                    seen, _now()).collect()}
+        assert got == want  # no seen key misread as definitively NEW
+
+    def test_incremental_merge_equals_full_build(self, spark):
+        """Per-wave delta blooms OR-merged == one-shot build over the
+        union (at fixed capacity): identical probe behavior."""
+        cap = 10_000
+        half1 = _seen(spark, [("s", str(i), 0, "1", "2026-02-01", 0)
+                              for i in range(50)])
+        half2 = _seen(spark, [("s", str(i), 0, "1", "2026-02-01", 0)
+                              for i in range(50, 100)])
+        prep = lambda df: (df
+            .withColumn("url_hash", D.url_hash(F.col("source"), F.col("id")))
+            .withColumn("salt", D.salt_of(F.col("id"), 4)))
+        b1 = D.build_blooms(prep(half1), capacity_per_salt=cap)
+        b2 = D.build_blooms(prep(half2), capacity_per_salt=cap)
+        merged = D.merge_blooms(b1, b2)
+        full = D.build_blooms(prep(half1.unionByName(half2)),
+                              capacity_per_salt=cap)
+        got = {r["salt"]: r["bits"] for r in merged.collect()}
+        want = {r["salt"]: r["bits"] for r in full.collect()}
+        assert got == want
+
+    def test_probe_with_missing_salt_bucket(self, spark):
+        """Candidates whose salt has no bloom row are definitively NEW
+        (empty bucket), exercised through the cogroup path."""
+        seen = _seen(spark, [("s", "1", 0, "100", "2026-02-01", 0)])
+        seen = (seen.withColumn("url_hash", D.url_hash(F.col("source"), F.col("id")))
+                .withColumn("salt", F.lit(2)))
+        blooms = D.build_blooms(seen)
+        cands = (_cands(spark, [("s", "x", "hx", "1"), ("s", "y", "hy", "1")])
+                 .withColumn("url_hash", D.url_hash(F.col("source"), F.col("id")))
+                 .withColumn("salt", F.lit(7)))  # bucket with no bloom
+        probed = D.bloom_might_contain(cands, blooms)
+        assert probed.filter("might_contain").count() == 0
