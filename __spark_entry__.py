@@ -23,17 +23,23 @@ from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: dedup + quality + language + minhash over documents."""
+    """Flagship: norm-text search + dedup + quality + language +
+    minhash over documents. The full-text filter goes through the
+    reference's ES vietnamese_analyzer equivalence (lowercase +
+    asciifolding norm column, Q4 — indexer/elasticsearch.go:163-170),
+    so 'Kỹ Sư Spark' and 'ky su spark' hit the same rows."""
     from crawlspark import textops as X
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
+    norm = X.norm_text(F.col("text"))
     stats = docs.select(
         "doc_id", "lang", "source",
         X.token_count(F.col("text")).cast("long").alias("n_tokens"),
         X.quality_score(F.col("text")).alias("quality"),
         X.lang_id(F.col("text")).alias("pred_lang"),
         X.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        norm.contains(X.norm_text(F.lit("Spárk"))).alias("matches_spark"),
     )
     sig = X.minhash_signature(docs, num_perm=4)
     dup_groups = X.exact_dup_groups(docs).select(

@@ -70,10 +70,10 @@ def memory_bandwidth(procs: int) -> float:
     return float(out.stdout.strip())
 
 
-def _spark(cpus: int):
+def _spark(cpus: int, master: str | None = None):
     from crawlspark.session import get_spark
 
-    return get_spark("crawlspark-bench", master=f"local[{cpus}]",
+    return get_spark("crawlspark-bench", master=master or f"local[{cpus}]",
                      shuffle_partitions=cpus,
                      extra_conf={"spark.driver.memory": "16g"})
 
@@ -97,14 +97,16 @@ def _one_crawl(spark, cpus, pages, seeds, robots, ranks):
 
     wh = tempfile.mkdtemp(prefix=f"bench_wh_{cpus}_")
     store = SnapshotStore(wh)
-    drv = WaveDriver(spark, store, num_partitions=cpus, collect_stats=False)
+    drv = WaveDriver(spark, store, num_partitions=cpus)
     drv.bootstrap(seeds)
     t0 = time.time()
     drv.run_until_done(pages, robots, ranks, max_waves=8)
     secs = time.time() - t0
     urls = int(store.read(spark, "lineage")
                .agg(F.sum("urls_fetched")).first()[0] or 0)
-    fp = (table_hash(store.read(spark, "seen")),
+    # fingerprint the RESOLVED views (the observable state of the
+    # O(delta) commit scheme)
+    fp = (table_hash(drv.seen_view()),
           table_hash(store.read(spark, "extracted")),
           table_hash(store.read(spark, "jobs")))
     shutil.rmtree(wh, ignore_errors=True)
@@ -112,10 +114,11 @@ def _one_crawl(spark, cpus, pages, seeds, robots, ranks):
 
 
 def crawl_run(cpus: int, pages_path: str, warm_path: str,
-              seeds, warm_seeds, robots_pdf, ranks_pdf):
+              seeds, warm_seeds, robots_pdf, ranks_pdf,
+              master: str | None = None):
     """Warm-up crawl (untimed: JIT/codegen/python-worker spin-up), then
     the timed full crawl; returns (urls, secs, fingerprint)."""
-    spark = _spark(cpus)
+    spark = _spark(cpus, master)
     try:
         robots = spark.createDataFrame(robots_pdf)
         ranks = spark.createDataFrame(ranks_pdf)
@@ -125,6 +128,51 @@ def crawl_run(cpus: int, pages_path: str, warm_path: str,
                           seeds, robots, ranks)
     finally:
         spark.stop()
+
+
+def state_commit_probe(rows_per_wave: int = 200_000, waves: int = 6):
+    """O(delta) evidence: append a CONSTANT-size frontier delta while
+    the accumulated state grows wave over wave, timing each commit +
+    resolved-view read. Under the delta scheme both stay flat (an
+    O(total)-rewrite scheme grows linearly with accumulated state).
+    Returns per-wave seconds and the last/first ratio."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.driver import WaveDriver
+    from crawlspark.tables import SnapshotStore
+
+    spark = _spark(8)
+    wh = tempfile.mkdtemp(prefix="bench_state_")
+    try:
+        store = SnapshotStore(wh)
+        drv = WaveDriver(spark, store, compact_every=0)  # isolate raw deltas
+        times = []
+        for w in range(1, waves + 1):
+            delta = (spark.range(w * rows_per_wave, (w + 1) * rows_per_wave)
+                     .select(F.concat(F.lit("https://h.vn/j"),
+                                      F.col("id")).alias("url"),
+                             F.lit("h.vn").alias("host"),
+                             F.lit("s").alias("source"),
+                             F.col("id").cast("string").alias("id"),
+                             F.lit(None).cast("string").alias("last_updated_on"),
+                             F.lit(1).alias("depth"), F.lit(w).alias("wave"),
+                             F.lit(0).alias("page"), F.lit(0).alias("rank"),
+                             F.lit(0.0).alias("priority"),
+                             F.lit("pending").alias("state"),
+                             F.lit(0).alias("attempts"),
+                             F.lit(w).alias("_wseq")))
+            t0 = time.time()
+            store.commit(w, {}, appends={"frontier": delta},
+                         output_partitions=8)
+            drv.frontier_view().filter(F.col("state") == "pending") \
+               .write.mode("overwrite").format("noop").save()
+            times.append(round(time.time() - t0, 2))
+        return {"rows_per_wave": rows_per_wave,
+                "wall_s": times,
+                "flat_ratio": round(times[-1] / max(times[0], 1e-9), 2)}
+    finally:
+        spark.stop()
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 def main():
@@ -167,7 +215,25 @@ def main():
         scale_hi, pages_path, warm_path, seeds, warm_seeds, robots_pdf, ranks_pdf)
     urls_lo, secs_lo, fp_lo = crawl_run(
         scale_lo, pages_path, warm_path, seeds, warm_seeds, robots_pdf, ranks_pdf)
+
+    # EXECUTOR-shaped N->4N pair (north_rule: "two cluster sizes, N and
+    # 4N executors"): separate-JVM local-cluster with 2 vs 8 executors
+    # of 4 cores each — the closest this sandbox gets to spark-submit
+    # on a real cluster. Same corpus, same warm-up, same fingerprint.
+    xec_lo = xec_hi = None
+    if os.environ.get("CRAWLSPARK_EXEC_PAIR", "1") == "1":
+        _, xsec_lo, xfp_lo = crawl_run(
+            8, pages_path, warm_path, seeds, warm_seeds, robots_pdf,
+            ranks_pdf, master="local-cluster[2,4,3072]")
+        xurls, xsec_hi, xfp_hi = crawl_run(
+            32, pages_path, warm_path, seeds, warm_seeds, robots_pdf,
+            ranks_pdf, master="local-cluster[8,4,3072]")
+        xec_lo = xurls / xsec_lo
+        xec_hi = xurls / xsec_hi
+        exec_det = xfp_lo == xfp_hi
     shutil.rmtree(tmp, ignore_errors=True)
+
+    state_probe = state_commit_probe()
 
     thr_full = urls_full / secs_full
     thr_hi = urls_hi / secs_hi
@@ -203,7 +269,14 @@ def main():
             "scaling_efficiency_hw_normalized": round(min(eff / max(hw_scaling, 1e-9), 1.0), 3),
             "determinism_ok": fp_full == fp_hi == fp_lo,
         },
+        "state_commit": state_probe,
     }
+    if xec_lo is not None:
+        out["crawl"]["thr_exec_2x4"] = round(xec_lo, 2)
+        out["crawl"]["thr_exec_8x4"] = round(xec_hi, 2)
+        out["crawl"]["scaling_efficiency_executor"] = round(
+            xec_hi / (4 * xec_lo), 3)
+        out["crawl"]["determinism_ok_executor"] = exec_det
     print(json.dumps(out))
 
 

@@ -3,46 +3,66 @@
 Per wave:
   pending frontier -> politeness schedule (per-host budgets, robots)
   -> "fetch" = equi-join against the pages table (S7: the closed-world
-  analogue of the HTTP GET) -> list pages: link extraction -> dedup
-  classify (bloom + seen join) -> enqueue NEW/UPDATED, mark seen
-  -> detail pages: extract struct -> normalize -> MERGE into jobs
-  -> lineage rows per partition -> ONE atomic snapshot commit of
-  frontier + seen + jobs + audit + lineage.
+  analogue of the HTTP GET) -> ONE combined extraction pass (list
+  pages: link scan; detail pages: JSON-LD enrichment + audit blobs)
+  -> dedup classify (incremental bloom + seen join) -> enqueue
+  NEW/UPDATED, append seen delta -> normalize -> append jobs batch
+  -> lineage rows per partition -> ONE atomic snapshot commit.
 
 This inverts the reference's topology (three processes x Redis queues,
 one Redis round-trip per job — SURVEY §3.1-3.3) into one declarative
 plan per wave; the publish-then-mark at-least-once contract
 (vieclam24h/crawler.go:131-141) strengthens to exactly-once because
-frontier append and seen merge commit atomically.
+frontier append and seen append commit atomically.
+
+State tables are O(delta) per wave (Iceberg merge-on-read analogue):
+  - frontier and seen commit ONLY the wave's changed rows, stamped
+    with a commit sequence (_wseq); readers resolve last-write-wins
+    per key through frontier_view()/seen_view() windows.
+  - deferred rows write NOTHING (they simply stay pending in the
+    resolved view) — deferral is free.
+  - compact() (auto every ``compact_every`` waves, wave-count-keyed so
+    kill-resume replays it deterministically) rewrites the resolved
+    views as a fresh base, physically drops TTL-expired seen rows
+    (deduplicator.go:76-84's Redis expiry), and rebuilds the bloom
+    table from surviving keys. Between compactions, per-wave commit
+    IO never scales with total state size.
+  - blooms update incrementally: the wave's seen delta builds a
+    fixed-capacity per-salt bloom that OR-merges into the stored
+    bloom table — O(delta + n_salts) per wave, never a full rebuild.
 
 Resume (north_rule, P10): every wave is a snapshot; a killed run
 restarts from the last committed wave and reproduces the uninterrupted
-run bit-for-bit (tests/test_driver.py pins this).
+run bit-for-bit on the resolved views (tests/test_driver.py pins this).
 
 Scale notes:
-- pages join: frontier wave (budget-bounded) joins pages (100 TB side)
-  on url — sort-merge with AQE; at 10^10 frontier the pages table is
-  Iceberg-bucketed by url hash so the join co-locates (storage-layer
-  config, not code).
-- html bytes are dropped immediately after extraction (payload
-  pruning, scraper.go:76 equivalent) so no shuffle ever carries them.
-- everything after extraction is Column expressions (codegen).
+- pages join: frontier wave (budget-bounded) broadcasts against pages
+  (the 100 TB side) on url, so the fat html column NEVER crosses a
+  shuffle — pages stream from parquet straight into extraction. At a
+  10^10 frontier the same guarantee comes from bucketing both tables
+  by url hash (storage-layer config); plan shape is identical.
+- html stays BINARY end-to-end and is dropped inside the same stage
+  that extracts from it; nothing html-bearing is ever persisted.
+- exactly ONE driver-side action per wave: a unioned counter
+  aggregate that simultaneously materializes every shared cache and
+  returns all wave stats + the next pending count (the round-1 serial
+  floor of ~11 separate .count() actions is gone).
 """
 
 from __future__ import annotations
 
-import os
 import time
 from datetime import datetime, timedelta
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import dedup as D
 from . import politeness
 from .clean import udfs as clean_udfs
-from .extract import udfs as extract_udfs
+from .extract import page_udf
 from .frontier import host_of, priority_expr
 from .normalize import normalize_vieclam24h
 from .schemas import FRONTIER_SCHEMA, SEEN_SCHEMA
@@ -50,6 +70,12 @@ from .tables import SnapshotStore
 
 WAVE_EPOCH = datetime(2026, 1, 1)
 WAVE_SECONDS = 3600  # one wave = one cron cycle (cmd/vieclam24h/crawler/main.go:24)
+
+_FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+_SEEN_COLS = [f.name for f in SEEN_SCHEMA.fields]
+
+_STAT_KEYS = ("fetched", "missing", "deferred", "disallowed", "enqueued",
+              "new", "updated", "unchanged", "jobs", "pending_next")
 
 
 def wave_start(wave: int) -> datetime:
@@ -70,7 +96,8 @@ class WaveDriver:
                  source: str = "vieclam24h", num_partitions: int = 32,
                  n_salts: int = D.N_SALTS, max_retries: int = 3,
                  use_bloom: bool = True, collect_stats: bool = True,
-                 snapshot_files: int | None = 8):
+                 snapshot_files: int | None = 8, compact_every: int = 8,
+                 bloom_capacity_per_salt: int = 1_000_000):
         self.spark = spark
         self.store = store
         self.source = source
@@ -78,12 +105,42 @@ class WaveDriver:
         self.n_salts = n_salts
         self.max_retries = max_retries
         self.use_bloom = use_bloom
-        # collect_stats=False drops the per-wave driver-side counts
-        # (each is a full Spark job); lineage still records real counts
-        # as part of the single commit. Bench mode uses False — the
-        # counts are the serial fraction that caps scaling efficiency.
+        # Stats now cost ZERO extra actions (they ride the single
+        # forcing aggregate); the flag is kept for API compatibility.
         self.collect_stats = collect_stats
         self.snapshot_files = snapshot_files
+        self.compact_every = compact_every
+        # Fixed bloom capacity per salt bucket so per-wave delta blooms
+        # OR-merge into the stored table (dedup.merge_blooms). At the
+        # 10^10-key design point: 256 salts x ~4e7 keys => ~50 MB/salt.
+        self.bloom_capacity_per_salt = bloom_capacity_per_salt
+
+    # -- pending predicate ---------------------------------------------------
+    def _pending(self) -> F.Column:
+        return (F.col("state") == "pending") & (F.col("attempts") < self.max_retries)
+
+    # -- delta resolution (merge-on-read views) ------------------------------
+    def _resolved(self, table: str, keys: list[str]) -> DataFrame | None:
+        """Last-write-wins per key over the accumulated delta appends,
+        ordered by commit sequence — the read side of the O(delta)
+        commit scheme (Iceberg MoR / Redis SET equivalence)."""
+        df = self.store.read(self.spark, table)
+        if df is None:
+            return None
+        w = Window.partitionBy(*keys).orderBy(F.col("_wseq").desc())
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def frontier_view(self) -> DataFrame | None:
+        """Current frontier state: one row per url."""
+        out = self._resolved("frontier", ["url"])
+        return None if out is None else out.drop("_wseq")
+
+    def seen_view(self) -> DataFrame | None:
+        """Current seen set: one row per (source, id); TTL expiry is
+        applied lazily by consumers via dedup.seen_live."""
+        out = self._resolved("seen", ["source", "id"])
+        return None if out is None else out.drop("_wseq")
 
     # -- bootstrap ----------------------------------------------------------
     def bootstrap(self, seeds: pd.DataFrame) -> int:
@@ -98,28 +155,26 @@ class WaveDriver:
         pdf["priority"] = 0.0
         pdf["state"] = "pending"
         pdf["attempts"] = 0
-        fr = self.spark.createDataFrame(
-            pdf[[f.name for f in FRONTIER_SCHEMA.fields]], schema=FRONTIER_SCHEMA)
-        seen = self.spark.createDataFrame([], SEEN_SCHEMA)
-        return self.store.commit(0, {"frontier": fr, "seen": seen})
+        fr = (self.spark.createDataFrame(pdf[_FRONTIER_COLS], schema=FRONTIER_SCHEMA)
+              .withColumn("_wseq", F.lit(0)))
+        seen = (self.spark.createDataFrame([], SEEN_SCHEMA)
+                .withColumn("_wseq", F.lit(0)))
+        return self.store.commit(0, {}, appends={"frontier": fr, "seen": seen})
 
     def reseed(self, seeds: pd.DataFrame | None = None) -> int:
         """Model the cron re-crawl (P6): flip fetched list pages back to
-        pending for the next cycle. Pass the cycle's seed list to also
-        enqueue NEW list pages — a growing corpus adds pagination tail
-        pages that the previous cycle never saw (the reference reaches
-        them by re-paginating the API until LastPage each run,
+        pending for the next cycle — as an O(list pages) delta, never a
+        frontier rewrite. Pass the cycle's seed list to also enqueue NEW
+        list pages — a growing corpus adds pagination tail pages that
+        the previous cycle never saw (the reference reaches them by
+        re-paginating the API until LastPage each run,
         vieclam24h/crawler.go:76-166)."""
         wave = self.store.latest_wave()
-        fr = self.store.read(self.spark, "frontier")
-        reset = fr.withColumn(
-            "state",
-            F.when((F.col("depth") == 0) & (F.col("state") == "fetched"),
-                   F.lit("pending")).otherwise(F.col("state")),
-        ).withColumn(
-            "wave",
-            F.when((F.col("depth") == 0), F.lit(wave + 1)).otherwise(F.col("wave")),
-        )
+        fv = self.frontier_view()
+        flips = (fv.filter((F.col("depth") == 0) & (F.col("state") == "fetched"))
+                 .withColumn("state", F.lit("pending"))
+                 .withColumn("wave", F.lit(wave + 1)))
+        delta = flips
         if seeds is not None:
             pdf = seeds.copy()
             pdf["source"] = self.source
@@ -131,10 +186,11 @@ class WaveDriver:
             pdf["state"] = "pending"
             pdf["attempts"] = 0
             fresh = self.spark.createDataFrame(
-                pdf[[f.name for f in FRONTIER_SCHEMA.fields]], schema=FRONTIER_SCHEMA)
-            fresh = fresh.join(fr.select("url"), "url", "left_anti")
-            reset = reset.unionByName(fresh.select(*reset.columns))
-        return self.store.commit(wave + 1, {"frontier": reset})
+                pdf[_FRONTIER_COLS], schema=FRONTIER_SCHEMA)
+            fresh = fresh.join(fv.select("url"), "url", "left_anti")
+            delta = delta.unionByName(fresh.select(*delta.columns))
+        delta = delta.withColumn("_wseq", F.lit(wave + 1))
+        return self.store.commit(wave + 1, {}, appends={"frontier": delta})
 
     # -- one wave -----------------------------------------------------------
     def run_wave(self, pages: DataFrame, robots: DataFrame,
@@ -143,15 +199,10 @@ class WaveDriver:
         spark = self.spark
         wave = self.store.latest_wave() + 1
         ws = wave_start(wave)
+        now_ts = F.to_timestamp(F.lit(str(ws)))
 
-        frontier = self.store.read(spark, "frontier")
-        seen = self.store.read(spark, "seen") or spark.createDataFrame([], SEEN_SCHEMA)
-        seen = seen.cache()
-
-        pending = frontier.filter(
-            (F.col("state") == "pending") & (F.col("attempts") < self.max_retries))
-        rest = frontier.filter(
-            ~((F.col("state") == "pending") & (F.col("attempts") < self.max_retries)))
+        pending = (self.frontier_view() or
+                   spark.createDataFrame([], FRONTIER_SCHEMA)).filter(self._pending())
 
         # priority (north_rule): recrawl age = waves since enqueue
         age_hours = (F.lit(wave) - F.col("wave")) * F.lit(WAVE_SECONDS / 3600.0)
@@ -160,45 +211,47 @@ class WaveDriver:
                          "host", "left")
                    .withColumn("priority",
                                priority_expr(F.col("depth"), F.col("_hr"), age_hours))
-                   .drop("_hr"))
+                   .drop("_hr")
+                   .select(*_FRONTIER_COLS))
 
-        # Persist each shared lineage; forced ONCE before the parallel
-        # snapshot writes (concurrent Spark jobs do not coordinate on an
-        # unmaterialized cache — without this every table write would
-        # recompute the pUDF stages; observed 6x duplicated extraction).
-        # sched materializes as a by-product of fetched.count().
+        # Persist shared lineage; ALL caches fill as by-products of the
+        # single counter action below (concurrent snapshot writes do not
+        # coordinate on an unmaterialized cache).
         sched = politeness.schedule(pending, robots, ws).persist()
         to_fetch = sched.filter(F.col("state") == "scheduled").drop("slot", "scheduled_ts")
-        deferred = (sched.filter(F.col("state") == "deferred")
-                    .drop("slot", "scheduled_ts")
-                    .withColumn("state", F.lit("pending")))
-        disallowed = sched.filter(F.col("state") == "disallowed").drop("slot", "scheduled_ts")
+        deferred = sched.filter(F.col("state") == "deferred")  # stays pending: no delta row
+        disallowed = (sched.filter(F.col("state") == "disallowed")
+                      .drop("slot", "scheduled_ts"))
 
         # "fetch": equi-join with the pages table. The frontier side is
         # explicitly broadcast (inner join) and PRUNED to the columns
         # the downstream stages read: the wave is politeness-budget-
         # bounded while pages is the 100 TB side — broadcasting the
         # small side guarantees the fat html column NEVER crosses a
-        # shuffle (pages stream from parquet straight into extraction).
-        # At a 10^10 frontier the same guarantee comes from bucketing
-        # both tables by url hash (storage config); plan shape is
-        # identical. Unfetchable urls (P8 retry) come from a separate
-        # anti join that reads ONLY the pruned url column of pages.
+        # shuffle. html stays binary; the combined page UDF decodes per
+        # Arrow batch and html is dropped inside the same stage, so the
+        # wave-long cache holds only extracted columns. Unfetchable urls
+        # (P8 retry) come from an anti join reading ONLY pages.url.
         fetch_cols = to_fetch.select("url", "depth", "page", "id", "last_updated_on")
-        fetched = (pages.select("url", F.col("html").cast("string").alias("_html"),
-                                F.col("warc_ts").alias("_warc_ts"))
-                   .join(F.broadcast(fetch_cols), "url", "inner")
-                   .persist())
+        px = page_udf()
+        processed = (pages.select("url", "html", F.col("warc_ts").alias("_warc_ts"))
+                     .join(F.broadcast(fetch_cols), "url", "inner")
+                     .withColumn("_px", px(F.col("html"), F.col("depth")))
+                     .select("url", "depth", "page", "id", "last_updated_on",
+                             "_warc_ts", F.col("_px.links").alias("_links"),
+                             F.col("_px.x").alias("x"),
+                             F.col("_px.jsonld").alias("jsonld"))
+                     .persist())
+        # P8 retry: missing urls return to the pending pool with
+        # attempts+1 (state left 'scheduled' would orphan them forever;
+        # the pending filter caps at max_retries).
         missing = (to_fetch.join(pages.select("url"), "url", "left_anti")
-                   .withColumn("attempts", F.col("attempts") + 1))  # P8 retry
-        got = fetched
-
-        ex_udf, links_udf, jsonld_udf = extract_udfs()
+                   .withColumn("attempts", F.col("attempts") + 1)
+                   .withColumn("state", F.lit("pending")))
 
         # ---- list pages -> frontier candidates (S5 + D1/D2) --------------
-        lists = got.filter(F.col("depth") == 0)
-        links = (lists
-                 .withColumn("l", F.explode(links_udf(F.col("_html"))))
+        links = (processed.filter(F.col("depth") == 0)
+                 .withColumn("l", F.explode("_links"))
                  .select(F.col("l.href").alias("url"),
                          F.lit(self.source).alias("source"),
                          F.coalesce(F.col("l.item_id"), F.col("l.href")).alias("id"),
@@ -209,82 +262,84 @@ class WaveDriver:
                          F.col("l.rank").alias("rank"))
                  .withColumn("host", host_of(F.col("url"))))
 
-        if self.use_bloom and not seen.isEmpty():
-            blooms = D.build_blooms(seen)
+        seen = self.seen_view() or spark.createDataFrame([], SEEN_SCHEMA)
+        blooms_prev = self.store.read(spark, "blooms") if self.use_bloom else None
+        if blooms_prev is not None:
             classified = D.classify_with_bloom(
-                links, seen, blooms, F.to_timestamp(F.lit(str(ws))),
+                links, seen, blooms_prev, now_ts,
                 n_salts=self.n_salts).drop("url_hash", "salt")
         else:
-            classified = D.classify(links, seen, F.to_timestamp(F.lit(str(ws))))
+            classified = D.classify(links, seen, now_ts)
         classified = classified.persist()
 
-        enqueue = (classified.filter(F.col("status") != D.STATUS_UNCHANGED)
-                   .drop("status")
+        changed = classified.filter(F.col("status") != D.STATUS_UNCHANGED)
+        enqueue = (changed.drop("status")
                    .withColumn("priority", F.lit(0.0))
                    .withColumn("state", F.lit("pending"))
                    .withColumn("attempts", F.lit(0))
-                   .select(*[f.name for f in FRONTIER_SCHEMA.fields]))
+                   .select(*_FRONTIER_COLS))
 
-        # publish-then-mark, atomically: seen merge in the same snapshot
-        new_seen = D.mark_seen(
-            seen, classified.filter(F.col("status") != D.STATUS_UNCHANGED)
-            .select("source", "id", "host", "last_updated_on"),
-            F.to_timestamp(F.lit(str(ws))), n_salts=self.n_salts)
+        # publish-then-mark, atomically: the seen DELTA commits in the
+        # same snapshot as the frontier delta (O(delta), no anti-join
+        # against the stored seen set)
+        seen_new = (D.seen_delta(
+            changed.select("source", "id", "host", "last_updated_on"),
+            now_ts, n_salts=self.n_salts)
+            .withColumn("_wseq", F.lit(wave)))
 
-        # ---- detail pages -> extract -> normalize -> jobs MERGE ----------
-        details = got.filter(F.col("depth") > 0)
-        ext = (details
-               .withColumn("x", ex_udf(F.col("_html")))
-               .withColumn("jsonld", jsonld_udf(F.col("_html")))
-               .drop("_html")  # payload pruning: html never crosses a shuffle
-               .persist())
-        # Force ext first: it materializes every fetched partition (the
-        # depth filter does not prune cached partitions), so sched and
-        # fetched caches fill as a by-product of ONE action; classified
-        # then reuses the fetched cache. Without this the parallel
-        # snapshot writes would recompute the pUDF stages concurrently.
-        _trace = os.environ.get("CRAWLSPARK_TRACE") == "1"
-        _t = time.time()
-        ext.count()
-        if _trace:
-            print(f"[wave {wave}] ext.count {time.time()-_t:.1f}s", flush=True)
-            _t = time.time()
-        classified.count()
-        if _trace:
-            print(f"[wave {wave}] classified.count {time.time()-_t:.1f}s", flush=True)
-            _t = time.time()
-        staged = (ext
+        # incremental bloom maintenance: delta bloom at fixed capacity,
+        # OR-merged into the stored table — O(delta + n_salts)
+        blooms_out = None
+        if self.use_bloom:
+            delta_blooms = D.build_blooms(
+                seen_new, capacity_per_salt=self.bloom_capacity_per_salt)
+            blooms_out = (D.merge_blooms(blooms_prev, delta_blooms)
+                          if blooms_prev is not None else delta_blooms)
+
+        # ---- detail pages -> extract -> normalize -> jobs append ---------
+        details = processed.filter(F.col("depth") > 0)
+        staged = (details
                   .withColumn("source", F.lit(self.source))
                   .withColumn("item_title", F.col("x.title"))
                   .withColumn("crawled_at", F.col("_warc_ts")))
         jobs_batch = (normalize_vieclam24h(staged).dropDuplicates(["id"])
-                      .withColumn("wave", F.lit(wave)))
+                      .withColumn("wave", F.lit(wave))
+                      .persist())
 
         # the byte-identity surface (C2, worker.go:145-147): CleanToText of
         # the extracted description, committed per url
         _, clean_to_text_udf, _ = clean_udfs()
-        extracted_batch = ext.select(
+        extracted_batch = details.select(
             "url", F.lit(wave).alias("wave"),
             clean_to_text_udf(F.col("x.job_description")).alias("text"))
-        audit = (ext.select("url", F.lit(wave).alias("wave"),
-                            F.posexplode("jsonld").alias("blob_index", "blob")))
+        audit = details.select("url", F.lit(wave).alias("wave"),
+                               F.posexplode("jsonld").alias("blob_index", "blob"))
 
-        # ---- frontier state update ---------------------------------------
-        # fetched = scheduled minus unfetchable; the anti join against the
-        # (usually tiny) missing set avoids re-deriving frontier columns
-        # through the pruned fetch join
+        # ---- frontier delta (O(changed rows), never a rewrite) -----------
         fetched_rows = (to_fetch.join(missing.select("url"), "url", "left_anti")
                         .withColumn("state", F.lit("fetched")))
-        new_frontier = (rest
-                        .unionByName(fetched_rows.select(*rest.columns))
-                        .unionByName(missing.select(*rest.columns))
-                        .unionByName(deferred.select(*rest.columns))
-                        .unionByName(disallowed.select(*rest.columns))
-                        .unionByName(enqueue))
+        state_changes = (fetched_rows.select(*_FRONTIER_COLS)
+                         .unionByName(missing.select(*_FRONTIER_COLS))
+                         .unionByName(disallowed.select(*_FRONTIER_COLS))
+                         .withColumn("_pri", F.lit(0)))
+        # Within-wave resolution: one row per url. An enqueue beats a
+        # state update (an UPDATED link re-pends a just-fetched url for
+        # recrawl — publisher.go:30-83 re-push semantics); duplicate
+        # enqueues keep the earliest FIFO discovery (page, rank).
+        wave_delta = state_changes.unionByName(
+            enqueue.withColumn("_pri", F.lit(1)))
+        w_dedup = Window.partitionBy("url").orderBy(
+            F.col("_pri").desc(), F.col("page").asc_nulls_last(),
+            F.col("rank").asc_nulls_last(),
+            F.col("last_updated_on").asc_nulls_last(), F.col("id").asc())
+        frontier_delta = (wave_delta
+                          .withColumn("_rn", F.row_number().over(w_dedup))
+                          .filter(F.col("_rn") == 1).drop("_rn", "_pri")
+                          .withColumn("_wseq", F.lit(wave)))
 
         # ---- lineage (per-partition metrics, north_rule) ------------------
         pid = F.spark_partition_id().alias("partition_id")
-        fetch_counts = got.groupBy(pid).agg(F.count("*").alias("urls_fetched"))
+        fetch_counts = processed.groupBy(pid).agg(F.count("*").alias("urls_fetched"))
         cls_counts = (classified.groupBy(pid).agg(
             F.count(F.when(F.col("status") == D.STATUS_NEW, 1)).alias("new"),
             F.count(F.when(F.col("status") == D.STATUS_UPDATED, 1)).alias("updated"),
@@ -299,48 +354,76 @@ class WaveDriver:
                        .select("wave", "partition_id", "urls_fetched", "dedup_hits",
                                "new", "updated", "unchanged", "wall_ms", "committed_at"))
 
-        if self.collect_stats:
-            stats = {
-                "wave": wave,
-                "fetched": got.count(),
-                "missing": missing.count(),
-                "deferred": deferred.count(),
-                "disallowed": disallowed.count(),
-                "enqueued": enqueue.count(),
-                "new": classified.filter(F.col("status") == D.STATUS_NEW).count(),
-                "updated": classified.filter(F.col("status") == D.STATUS_UPDATED).count(),
-                "unchanged": classified.filter(F.col("status") == D.STATUS_UNCHANGED).count(),
-                "jobs": jobs_batch.count(),
-            }
-        else:
-            stats = {"wave": wave}
-        # frontier/seen are state tables (overwrite); jobs/extracted/
-        # lineage/audit append the wave's batch only (O(batch) IO);
-        # last-write-wins reads go through jobs_view()/extracted_view()
-        if _trace:
-            print(f"[wave {wave}] stats+plan {time.time()-_t:.1f}s", flush=True)
-            _t = time.time()
+        # ---- the SINGLE driver-side action --------------------------------
+        # One unioned counter aggregate materializes sched/processed/
+        # classified/jobs caches AND returns every wave stat including
+        # the next pending count (loop control) — the driver-side
+        # serial fraction is one job, not ~11.
+        stored_frontier = self.store.read(spark, "frontier")
+        next_frontier = stored_frontier.unionByName(frontier_delta)
+        w_next = Window.partitionBy("url").orderBy(F.col("_wseq").desc())
+        pending_next = (next_frontier
+                        .withColumn("_rn", F.row_number().over(w_next))
+                        .filter(F.col("_rn") == 1)
+                        .filter(self._pending()))
+        branches = {
+            "fetched": processed,
+            "missing": missing,
+            "deferred": deferred,
+            "disallowed": disallowed,
+            "enqueued": enqueue,
+            "new": classified.filter(F.col("status") == D.STATUS_NEW),
+            "updated": classified.filter(F.col("status") == D.STATUS_UPDATED),
+            "unchanged": classified.filter(F.col("status") == D.STATUS_UNCHANGED),
+            "jobs": jobs_batch,
+            "pending_next": pending_next,
+        }
+        counters = None
+        for k, df in branches.items():
+            b = df.select(F.lit(k).alias("k"))
+            counters = b if counters is None else counters.unionAll(b)
+        counted = {r["k"]: r["n"] for r in
+                   counters.groupBy("k").agg(F.count("*").alias("n")).collect()}
+        stats = {"wave": wave, **{k: int(counted.get(k, 0)) for k in _STAT_KEYS}}
+
+        tables = {"blooms": blooms_out} if blooms_out is not None else {}
         self.store.commit(
             wave,
-            {"frontier": new_frontier, "seen": new_seen},
-            appends={"jobs": jobs_batch, "extracted": extracted_batch,
+            tables,
+            appends={"frontier": frontier_delta, "seen": seen_new,
+                     "jobs": jobs_batch, "extracted": extracted_batch,
                      "lineage": lineage_new, "jsonld_audit": audit},
             output_partitions=self.snapshot_files)
-        if _trace:
-            print(f"[wave {wave}] commit {time.time()-_t:.1f}s", flush=True)
-        seen.unpersist()
         sched.unpersist()
-        fetched.unpersist()
+        processed.unpersist()
         classified.unpersist()
-        ext.unpersist()
+        jobs_batch.unpersist()
+        if self.compact_every and wave % self.compact_every == 0:
+            self.compact()
         stats["wall_ms"] = int((time.time() - t0) * 1000)
         return stats
+
+    # -- compaction ----------------------------------------------------------
+    def compact(self) -> int:
+        """Rewrite frontier/seen as their resolved views (fresh base for
+        the delta chain), physically drop TTL-expired seen rows, and
+        rebuild blooms from the surviving keys. Keyed to the current
+        wave (deterministic under kill-resume); the expiry cutoff is the
+        wave start, never the wall clock."""
+        wave = self.store.latest_wave()
+        now_ts = F.to_timestamp(F.lit(str(wave_start(wave))))
+        fr = self._resolved("frontier", ["url"])
+        sn = D.seen_live(self._resolved("seen", ["source", "id"]), now_ts)
+        tables: dict[str, DataFrame] = {"frontier": fr, "seen": sn}
+        if self.use_bloom:
+            tables["blooms"] = D.build_blooms(
+                sn, capacity_per_salt=self.bloom_capacity_per_salt)
+        return self.store.commit(wave, tables,
+                                 output_partitions=self.snapshot_files)
 
     # -- read-side views (append tables resolve last-write-wins here,
     # the parquet-sandbox equivalent of Iceberg MERGE results) ----------
     def _latest_view(self, table: str, key: str) -> DataFrame | None:
-        from pyspark.sql.window import Window
-
         df = self.store.read(self.spark, table)
         if df is None:
             return None
@@ -358,24 +441,27 @@ class WaveDriver:
 
     # -- loop ---------------------------------------------------------------
     def pending_count(self) -> int:
-        fr = self.store.read(self.spark, "frontier")
+        fr = self.frontier_view()
         if fr is None:
             return 0
-        return fr.filter((F.col("state") == "pending")
-                         & (F.col("attempts") < self.max_retries)).count()
+        return fr.filter(self._pending()).count()
 
     def run_until_done(self, pages: DataFrame, robots: DataFrame,
                        host_rank: DataFrame, max_waves: int = 10) -> list[dict]:
         """P5 termination: loop while pending work remains. Starvation
-        guard: a wave that leaves the pending count unchanged made no
-        progress (e.g. zero robots budget) — stop instead of burning
-        no-op waves to the max_waves cap."""
-        out = []
-        prev_pending = None
-        pending = self.pending_count()
-        while pending > 0 and len(out) < max_waves:
-            if prev_pending is not None and pending == prev_pending:
+        guard: progress is measured by WORK DONE (fetched / enqueued /
+        state transitions), not by the pending count staying equal — a
+        wave that fetches N rows while enqueuing exactly N new links is
+        real progress; a wave where only deferrals happen (e.g. zero
+        robots budget) is not, and stops the loop."""
+        out: list[dict] = []
+        if self.pending_count() == 0:
+            return out
+        while len(out) < max_waves:
+            stats = self.run_wave(pages, robots, host_rank)
+            out.append(stats)
+            progressed = (stats["fetched"] + stats["enqueued"]
+                          + stats["disallowed"] + stats["missing"]) > 0
+            if stats["pending_next"] == 0 or not progressed:
                 break
-            out.append(self.run_wave(pages, robots, host_rank))
-            prev_pending, pending = pending, self.pending_count()
         return out

@@ -49,7 +49,9 @@ _EMPTY = {
     "company_website": None, "location_city": None,
     "location_district": None, "salary_min_jsonld": None,
     "salary_max_jsonld": None, "salary_currency": None,
-    "salary_text_jsonld": None, "is_negotiable": None, "jsonld_count": 0,
+    "salary_text_jsonld": None, "is_negotiable": None,
+    "job_requirement": None, "other_requirement": None,
+    "rate_response_text": None, "jsonld_count": 0,
 }
 
 
@@ -137,6 +139,16 @@ def extract_detail_fields(html: str | None) -> dict:
         if _nonempty(val.get("value")):
             out["salary_text_jsonld"] = val["value"]
             out["is_negotiable"] = True
+        # N11/N3 raw keys (API-only in the reference; closed-world
+        # extension keys here). rate may arrive as number or string —
+        # carried as string; getFloat parses leniently downstream.
+        if _nonempty(jp.get("jobRequirement")):
+            out["job_requirement"] = jp["jobRequirement"]
+        if _nonempty(jp.get("otherRequirement")):
+            out["other_requirement"] = jp["otherRequirement"]
+        rr = jp.get("rateResponse")
+        if rr is not None and rr != "":
+            out["rate_response_text"] = repr(rr) if isinstance(rr, float) else str(rr)
     out["jsonld_count"] = n_valid
     return out
 
@@ -174,14 +186,24 @@ def extract_jsonld_blobs(html: str | None) -> list[str]:
 # ---------------------------------------------------------------------------
 # Spark pandas-UDF wrappers
 # ---------------------------------------------------------------------------
+def _to_str(h) -> str | None:
+    """html stays BINARY end-to-end on the JVM side (a binary->string
+    cast doubles the bytes held per row); decode happens here, per
+    Arrow batch, Python-side only."""
+    if isinstance(h, (bytes, bytearray)):
+        return h.decode("utf-8", "replace")
+    return h
+
+
 _udfs = None
 
 
 def udfs():
     """Return (extract_struct_udf, extract_links_udf, extract_jsonld_udf).
 
-    Usage: df.withColumn("x", extract_struct_udf(F.col("html").cast("string")))
+    Usage: df.withColumn("x", extract_struct_udf(F.col("html")))
     then select x.* — Catalyst prunes unused struct fields after the UDF.
+    Inputs may be binary or string.
     """
     global _udfs
     if _udfs is not None:
@@ -194,16 +216,60 @@ def udfs():
 
     @pandas_udf(EXTRACTED_STRUCT)
     def extract_struct_udf(html: pd.Series) -> pd.DataFrame:
-        rows = [extract_detail_fields(h) for h in html]
+        rows = [extract_detail_fields(_to_str(h)) for h in html]
         return pd.DataFrame(rows, columns=list(_EMPTY.keys()))
 
     @pandas_udf(ArrayType(LINK_STRUCT))
     def extract_links_udf(html: pd.Series) -> pd.Series:
-        return pd.Series([extract_links(h) for h in html])
+        return pd.Series([extract_links(_to_str(h)) for h in html])
 
     @pandas_udf(ArrayType(StringType()))
     def extract_jsonld_udf(html: pd.Series) -> pd.Series:
-        return pd.Series([extract_jsonld_blobs(h) for h in html])
+        return pd.Series([extract_jsonld_blobs(_to_str(h)) for h in html])
 
     _udfs = (extract_struct_udf, extract_links_udf, extract_jsonld_udf)
     return _udfs
+
+
+_page_udf = None
+
+
+def page_udf():
+    """Combined per-page extraction: ONE pandas UDF over (html, depth)
+    returning struct(links, x, jsonld) — list pages (depth 0) run the
+    link scan, detail pages run the JSON-LD enrichment + audit-blob
+    scan. One Arrow transfer of the fat html column and one Python
+    stage per wave instead of three; html arrives as binary and is
+    decoded per batch (never cast/duplicated JVM-side)."""
+    global _page_udf
+    if _page_udf is not None:
+        return _page_udf
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from .schemas import EXTRACTED_STRUCT, LINK_STRUCT
+
+    page_struct = T.StructType([
+        T.StructField("links", T.ArrayType(LINK_STRUCT), True),
+        T.StructField("x", EXTRACTED_STRUCT, True),
+        T.StructField("jsonld", T.ArrayType(T.StringType()), True),
+    ])
+
+    @pandas_udf(page_struct)
+    def extract_page_udf(html: pd.Series, depth: pd.Series) -> pd.DataFrame:
+        links, xs, blobs = [], [], []
+        for h, d in zip(html, depth):
+            s = _to_str(h)
+            if d == 0:
+                links.append(extract_links(s))
+                xs.append(None)
+                blobs.append(None)
+            else:
+                links.append(None)
+                xs.append(extract_detail_fields(s))
+                blobs.append(extract_jsonld_blobs(s))
+        return pd.DataFrame({"links": links, "x": xs, "jsonld": blobs})
+
+    _page_udf = extract_page_udf
+    return _page_udf

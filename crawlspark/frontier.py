@@ -50,6 +50,16 @@ def order_frontier(frontier: DataFrame, num_partitions: int = 32,
             .sortWithinPartitions(*order_cols()))
 
 
+def vnw_page_sequence(nb_pages: Column) -> Column:
+    """S2 VietnamWorks pagination termination (vietnamworks/
+    crawler.go:85-89, 101-115): pages are 0-INDEXED (payload Page: page)
+    and the crawler fetches page 0 unconditionally, learns totalPages
+    from meta.nbPages, then continues while page < totalPages-1 —
+    visited pages = [0 .. max(nbPages-1, 0)]. Distinct from S1's
+    1-indexed -trang-N- rewrite (careerviet_extractor.go:296-304)."""
+    return F.sequence(F.lit(0), F.greatest(nb_pages - 1, F.lit(0)))
+
+
 def crawl_sequence(frontier: DataFrame) -> DataFrame:
     """Materialize the global crawl order as an explicit ``seq`` column
     (golden_order checks, FIXTURES.md §7). Uses a global window — test/

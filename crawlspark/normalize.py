@@ -38,13 +38,35 @@ def get_string(*cols: Column) -> Column:
 
 
 def get_int(*cols: Column) -> Column:
-    """N3: lenient int from the first parseable candidate, else 0."""
-    return F.coalesce(*[c.cast("long") for c in cols], F.lit(0).cast("long"))
+    """N3: lenient int from the first parseable candidate, else 0.
+    try_cast: an unparseable string is 'try the next key', never an
+    error (ANSI cast would throw — the reference switch/ParseInt
+    silently falls through, normalizer.go:361-388)."""
+    return F.coalesce(*[c.try_cast("long") for c in cols], F.lit(0).cast("long"))
 
 
 def get_bool(col: Column) -> Column:
     """N3: null -> false."""
     return F.coalesce(col.cast("boolean"), F.lit(False))
+
+
+def get_float(*cols: Column) -> Column:
+    """N3 getFloat (normalizer.go:390-411): lenient float from the
+    first parseable candidate (float/int/numeric string), else 0.0.
+    try_cast yields NULL for unparseable strings — exactly the
+    'try next key' fall-through (strconv.ParseFloat err => continue)."""
+    return F.coalesce(*[c.try_cast("double") for c in cols], F.lit(0.0))
+
+
+def requirements_concat(req: Column, other: Column) -> Column:
+    """N11 (normalizer.go:157-164): requirements = jobRequirement +
+    '<br/>' + otherRequirement when BOTH are non-empty; otherwise the
+    bare concatenation req+other (the no-separator quirk — one side
+    empty means the other passes through unchanged)."""
+    r = get_string(req)
+    o = get_string(other)
+    return (F.when((r != "") & (o != ""), F.concat(r, F.lit("<br/>"), o))
+            .otherwise(F.concat(r, o)))
 
 
 def parse_unix_timestamp(col: Column) -> Column:
@@ -244,11 +266,12 @@ def normalize_vieclam24h(df: DataFrame) -> DataFrame:
         get_string(x["occupational_category"]).alias("occupational_category"),
         get_string(x["employment_type"]).alias("employment_type"),
         unescape_udf(get_string(x["job_description"])).alias("description"),
-        unescape_udf(F.lit("")).alias("requirements"),  # jobRequirement is API-only
+        unescape_udf(requirements_concat(
+            x["job_requirement"], x["other_requirement"])).alias("requirements"),
         unescape_udf(get_string(x["job_benefits"])).alias("benefits"),
         F.lit(0).alias("total_views"),
         F.lit(0).alias("total_resume_applied"),
-        F.lit(0.0).alias("rate_response"),
+        get_float(x["rate_response_text"]).alias("rate_response"),
         F.col("crawled_at"),
         F.lit(None).cast("timestamp").alias("expired_at"),
         F.lit(None).cast("timestamp").alias("created_at"),

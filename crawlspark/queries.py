@@ -531,6 +531,159 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def q_text_norm_search(spark, sf):
+    """Q4 Vietnamese analyzer norm (indexer/elasticsearch.go:163-170:
+    lowercase + asciifolding). The testdata corpus is ascii, so the
+    query inverse-folds a slice into diacritic Vietnamese (uppercasing
+    every other doc), runs the engine's norm_text analyzer, and proves
+    the roundtrip: norm(inverse_fold(x)) == lower(x) — so a user query
+    'ky su' matches 'Kỹ Sư'. Oracle replicates with DuckDB translate."""
+    docs = _t(spark, sf, "documents")
+    src = F.substring(F.col("text"), 1, 80)
+    vi = F.translate(src, "aeiouyd", "ạềỉồứỹđ")
+    cased = F.when(F.col("doc_id") % 2 == 0, F.upper(vi)).otherwise(vi)
+    norm = X.norm_text(cased)
+    return (docs.select("doc_id", norm.alias("norm_text"),
+                        (norm == F.lower(src)).alias("matched"))
+            .orderBy("doc_id"))
+
+
+SQL_TEXT_NORM = f"""
+WITH v AS (
+  SELECT doc_id, substr(text, 1, 80) AS src,
+         translate(substr(text, 1, 80), 'aeiouyd', 'ạềỉồứỹđ') AS vi
+  FROM documents
+)
+SELECT doc_id,
+       translate(lower(CASE WHEN doc_id % 2 = 0 THEN upper(vi) ELSE vi END),
+                 '{X._VI_CHARS}', '{X._VI_FOLDED}') AS norm_text,
+       translate(lower(CASE WHEN doc_id % 2 = 0 THEN upper(vi) ELSE vi END),
+                 '{X._VI_CHARS}', '{X._VI_FOLDED}') = lower(src) AS matched
+FROM v ORDER BY doc_id
+"""
+
+
+def q_requirements_concat(spark, sf):
+    """N11 requirements concat (normalizer.go:157-164: req+'<br/>'+other
+    only when BOTH non-empty, else bare concat) + N3 getFloat
+    (normalizer.go:390-411: lenient parse, unparseable -> 0.0), branch-
+    exhaustive over customer-derived strings."""
+    c = _t(spark, sf, "customer")
+    req = (F.when(F.col("c_custkey") % 3 == 0, F.lit(""))
+           .otherwise(F.concat(F.lit("Req "), F.col("c_name"))))
+    other = (F.when(F.col("c_custkey") % 5 == 0, F.lit(""))
+             .otherwise(F.concat(F.lit("Other "), F.col("c_mktsegment"))))
+    rate = (F.when(F.col("c_custkey") % 4 == 0, F.lit(None).cast("string"))
+            .when(F.col("c_custkey") % 4 == 1, F.lit("0.37"))
+            .when(F.col("c_custkey") % 4 == 2, F.lit("not-a-number"))
+            .otherwise(F.lit("1.5")))
+    return (c.select("c_custkey",
+                     N.requirements_concat(req, other).alias("requirements"),
+                     F.round(N.get_float(rate), 4).alias("rate_response"))
+            .orderBy("c_custkey"))
+
+
+SQL_REQUIREMENTS_CONCAT = """
+WITH s AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN '' ELSE 'Req ' || c_name END AS req,
+         CASE WHEN c_custkey % 5 = 0 THEN '' ELSE 'Other ' || c_mktsegment END AS oth,
+         CASE WHEN c_custkey % 4 = 0 THEN NULL
+              WHEN c_custkey % 4 = 1 THEN '0.37'
+              WHEN c_custkey % 4 = 2 THEN 'not-a-number'
+              ELSE '1.5' END AS rate
+  FROM customer
+)
+SELECT c_custkey,
+       CASE WHEN req != '' AND oth != '' THEN req || '<br/>' || oth
+            ELSE req || oth END AS requirements,
+       round(coalesce(try_cast(rate AS DOUBLE), 0.0), 4) AS rate_response
+FROM s ORDER BY c_custkey
+"""
+
+
+def q_vnw_pagination(spark, sf):
+    """S2 VietnamWorks pagination termination (vietnamworks/
+    crawler.go:85-89): 0-indexed pages, page 0 fetched unconditionally,
+    stop at meta.nbPages-1 — visited = [0..max(nbPages-1,0)]."""
+    from .frontier import vnw_page_sequence
+
+    o = _t(spark, sf, "orders")
+    nb = (F.col("o_orderkey") % 7).cast("int")
+    seq = vnw_page_sequence(nb)
+    return (o.select("o_orderkey",
+                     F.size(seq).cast("long").alias("n_pages_visited"),
+                     F.element_at(seq, -1).cast("long").alias("last_page"))
+            .orderBy("o_orderkey"))
+
+
+SQL_VNW_PAGINATION = """
+SELECT o_orderkey,
+       greatest(o_orderkey % 7, 1)::BIGINT AS n_pages_visited,
+       greatest(o_orderkey % 7 - 1, 0)::BIGINT AS last_page
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def q_api_projection(spark, sf):
+    """E11 raw-projection layer (vieclam24h/crawler.go:219-280): a JSON
+    API payload flattens to typed raw columns via a declarative
+    path->type mapping; absent keys -> NULL -> Go zero values
+    downstream. Payload synthesized identically in both engines."""
+    from .rawproj import project_api_items
+
+    o = _t(spark, sf, "orders")
+    payload = F.concat(
+        F.lit('{"id": "'), F.col("o_orderkey").cast("string"),
+        F.lit('", "title": "Job '), F.col("o_orderkey").cast("string"),
+        F.lit('", "employer_info": {"name": "Co '),
+        F.col("o_custkey").cast("string"),
+        F.lit('"}, "salary_from": '), (F.col("o_orderkey") % 50).cast("string"),
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.concat(F.lit(', "rate_response": "0.'),
+                        F.lpad((F.col("o_custkey") % 100).cast("string"), 2, "0"),
+                        F.lit('"')))
+        .otherwise(F.lit("")),
+        F.lit("}"))
+    df = o.select("o_orderkey", payload.alias("raw"))
+    proj = project_api_items(
+        df, "raw",
+        {"title": ("$.title", "string"),
+         "companyName": ("$.employer_info.name", "string"),
+         "salaryFrom": ("$.salary_from", "long"),
+         "rateResponse": ("$.rate_response", "double"),
+         "totalViews": ("$.total_views", "long")},
+        keep=["o_orderkey"])
+    return (proj.select(
+        "o_orderkey", "title", F.col("companyName").alias("company_name"),
+        F.col("salaryFrom").alias("salary_from"),
+        F.round(F.coalesce(F.col("rateResponse"), F.lit(0.0)), 4).alias("rate_response"),
+        F.coalesce(F.col("totalViews"), F.lit(0)).cast("long").alias("total_views"))
+        .orderBy("o_orderkey"))
+
+
+SQL_API_PROJECTION = """
+WITH p AS (
+  SELECT o_orderkey,
+         '{"id": "' || o_orderkey || '", "title": "Job ' || o_orderkey
+         || '", "employer_info": {"name": "Co ' || o_custkey
+         || '"}, "salary_from": ' || (o_orderkey % 50)
+         || CASE WHEN o_orderkey % 3 = 0
+                 THEN ', "rate_response": "0.' || lpad((o_custkey % 100)::VARCHAR, 2, '0') || '"'
+                 ELSE '' END
+         || '}' AS raw
+  FROM orders
+)
+SELECT o_orderkey,
+       json_extract_string(raw, '$.title') AS title,
+       json_extract_string(raw, '$.employer_info.name') AS company_name,
+       json_extract_string(raw, '$.salary_from')::BIGINT AS salary_from,
+       round(coalesce(try_cast(json_extract_string(raw, '$.rate_response') AS DOUBLE), 0.0), 4) AS rate_response,
+       coalesce(try_cast(json_extract_string(raw, '$.total_views') AS BIGINT), 0)::BIGINT AS total_views
+FROM p ORDER BY o_orderkey
+"""
+
+
 # ===========================================================================
 # Training-data ops (documents / embeddings)
 # ===========================================================================
@@ -701,19 +854,73 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
 """
 
 
-# -- rows-only entries (genuinely non-SQL ops: pUDF / engine state) --------
 def q_doc_simhash(spark, sf):
-    """D5 simhash near-dup hashes (pandas UDF — rows-only check)."""
+    """D5 simhash hashes (pandas UDF). The md5-based bit-vote was
+    chosen so DuckDB can replay it EXACTLY in SQL: per-token h =
+    int(md5(tok)[:16],16), votes = sum(bit?+1:-1) per bit position,
+    signed 64-bit reassembly."""
     docs = _t(spark, sf, "documents")
     return (docs.select("doc_id", D.simhash_udf()(F.col("text")).alias("simhash"))
             .orderBy("doc_id"))
 
 
+SQL_DOC_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE trim(coalesce(text, '')) != ''
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS uh
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(CASE WHEN s.uh >= 9223372036854775808::HUGEINT
+                     THEN s.uh - 18446744073709551616::HUGEINT
+                     ELSE s.uh END, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# -- rows-only entries (genuinely non-SQL ops: pUDF / engine state) --------
+
+
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ann_index(spark, sf, n_planes: int = 6) -> str:
+    """Build (once per sf dir) the bucket-partitioned LSH index — the
+    storage-layer scale path; queries prune to their probe buckets."""
+    if sf not in _ANN_INDEX_CACHE:
+        import hashlib
+        import tempfile
+
+        path = (f"{tempfile.gettempdir()}/crawlspark_annidx_"
+                f"{hashlib.md5(sf.encode()).hexdigest()[:10]}_p{n_planes}")
+        emb = _t(spark, sf, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        X.build_ann_index(emb, path, dim, n_planes=n_planes)
+        _ANN_INDEX_CACHE[sf] = path
+    return _ANN_INDEX_CACHE[sf]
+
+
 def q_ann_lsh(spark, sf):
-    """Multi-probe LSH ANN (rows-only: approximate by design)."""
+    """Multi-probe LSH ANN over the PERSISTED bucket-partitioned index
+    (rows-only: approximate by design). The probe filter is a partition
+    predicate — only probe buckets' files are read (plan audit pins
+    PartitionFilters in tests/test_plans.py)."""
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
-    return (X.ann_topk_lsh(emb, q, k=10, n_planes=6, probe_hamming=2)
+    idx = _ann_index(spark, sf, n_planes=6)
+    return (X.ann_topk_lsh_indexed(spark, idx, q, k=10, n_planes=6,
+                                   probe_hamming=2)
             .select(F.col("vec_id").cast("long").alias("vec_id"), "cosine"))
 
 
@@ -757,8 +964,12 @@ QUERIES = {
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-    # rows-only (non-SQL-expressible: pandas-UDF or approximate ops)
-    "doc_simhash": (q_doc_simhash, None),
+    "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
+    "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
+    "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
+    "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),
+    "api_projection": (q_api_projection, SQL_API_PROJECTION),
+    # rows-only (non-SQL-expressible: approximate / pUDF-only ops)
     "ann_lsh": (q_ann_lsh, None),
     "clean_to_text": (q_clean_to_text, None),
 }

@@ -109,6 +109,14 @@ EXTRACTED_STRUCT = T.StructType(
         T.StructField("salary_currency", T.StringType(), True),
         T.StructField("salary_text_jsonld", T.StringType(), True),  # scraper.go:283-287
         T.StructField("is_negotiable", T.BooleanType(), True),
+        # N11 inputs (normalizer.go:157-164) + N3 getFloat input
+        # (normalizer.go:390-411) — API-only raw_data keys in the
+        # reference, carried as JSON-LD extension keys in the closed
+        # world; rate_response stays a STRING so getFloat's lenient
+        # parse runs in the normalizer, not here
+        T.StructField("job_requirement", T.StringType(), True),
+        T.StructField("other_requirement", T.StringType(), True),
+        T.StructField("rate_response_text", T.StringType(), True),
         T.StructField("jsonld_count", T.IntegerType(), False),
     ]
 )

@@ -279,6 +279,19 @@ def _jobposting_json(f: dict, i: int, idx: int, url: str, desc: str) -> str:
     }
     if f["qualifications"][idx]:
         jp["qualifications"] = f["qualifications"][idx]
+    # N11 inputs: variant covers both-present / req-only / other-only /
+    # neither (normalizer.go:157-164 branch exhaustion); N3 getFloat
+    # input alternates float / numeric string / absent
+    rq = int(f["h_noise"][idx]) % 4
+    if rq in (0, 1):
+        jp["jobRequirement"] = f"Yêu cầu {i}: {f['experience'][idx]}"
+    if rq in (0, 2):
+        jp["otherRequirement"] = f"Ưu tiên ứng viên {f['qualifications'][idx] or 'mới'}"
+    rr = int(f["h_noise"][idx]) % 3
+    if rr == 0:
+        jp["rateResponse"] = round((int(f["h_city"][idx]) % 100) / 100.0, 2)
+    elif rr == 1:
+        jp["rateResponse"] = f"0.{int(f['h_city'][idx]) % 100:02d}"
     v = int(f["sal_variant"][idx])
     if v == 0:
         jp["baseSalary"] = {"@type": "MonetaryAmount", "currency": "VND",

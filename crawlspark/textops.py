@@ -36,6 +36,26 @@ def token_count(text: Column) -> Column:
 _VI_CHARS = ("àáảãạăằắẳẵặâầấẩẫậèéẻẽẹêềếểễệìíỉĩị"
              "òóỏõọôồốổỗộơờớởỡợùúủũụưừứửữựỳýỷỹỵđ")
 
+# ascii target per _VI_CHARS position: 17×a, 11×e, 5×i, 17×o, 11×u, 5×y, d
+_VI_FOLDED = "a" * 17 + "e" * 11 + "i" * 5 + "o" * 17 + "u" * 11 + "y" * 5 + "d"
+assert len(_VI_CHARS) == len(_VI_FOLDED)
+
+
+def fold_ascii(text: Column) -> Column:
+    """asciifolding for the Vietnamese diacritic set — one built-in
+    translate, no UDF. Apply after lower() (the table carries lowercase
+    forms; Unicode lowercasing maps Ỹ->ỹ etc. first)."""
+    return F.translate(text, _VI_CHARS, _VI_FOLDED)
+
+
+def norm_text(text: Column) -> Column:
+    """The reference's ES ``vietnamese_analyzer`` normalization
+    (indexer/elasticsearch.go:163-170: custom analyzer = standard
+    tokenizer + [lowercase, asciifolding]) as a column: every full-text
+    field (title/company/description/...) gets a ``*_norm`` sibling so
+    'ky su' matches 'Kỹ Sư' — the reference's search surface (Q4)."""
+    return fold_ascii(F.lower(F.coalesce(text, F.lit(""))))
+
 
 def vi_char_count(text: Column) -> Column:
     """Count of Vietnamese-diacritic characters (langid signal)."""
@@ -250,14 +270,10 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 12,
     return out.cast("long")
 
 
-def ann_topk_lsh(df: DataFrame, query: list[float], k: int = 10,
-                 vec_col: str = "embedding", key_col: str = "vec_id",
-                 n_planes: int = 12, probe_hamming: int = 1,
-                 seed: int = 42) -> DataFrame:
-    """Approximate top-k: scan only buckets within `probe_hamming` bit
-    flips of the query's bucket (multi-probe LSH). Scale path: the
-    bucket column is precomputed/partitioned-by in storage, so a query
-    prunes to ~(1 + n_planes) / 2^n_planes of the corpus."""
+def probe_buckets(query: list[float], n_planes: int = 12,
+                  probe_hamming: int = 1, seed: int = 42) -> list[int]:
+    """Multi-probe bucket set for a query: its own bucket plus every
+    bucket within probe_hamming sign flips."""
     import itertools
 
     dim = len(query)
@@ -273,6 +289,45 @@ def ann_topk_lsh(df: DataFrame, query: list[float], k: int = 10,
             for f in flips:
                 s ^= 1 << f
             probes.add(s)
-    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
-    cand = bucketed.filter(F.col("_bucket").isin([int(x) for x in probes]))
+    return sorted(int(x) for x in probes)
+
+
+def ann_topk_lsh(df: DataFrame, query: list[float], k: int = 10,
+                 vec_col: str = "embedding", key_col: str = "vec_id",
+                 n_planes: int = 12, probe_hamming: int = 1,
+                 seed: int = 42) -> DataFrame:
+    """Approximate top-k over an UN-indexed frame: buckets computed on
+    the fly, so the probe filter still scans the corpus — the bounded
+    one-shot path. The scale path is build_ann_index +
+    ann_topk_lsh_indexed, where the same probe prunes at the storage
+    layer (partition pruning) and reads ~(1+n_planes)/2^n_planes of
+    the files."""
+    probes = probe_buckets(query, n_planes, probe_hamming, seed)
+    bucketed = df.withColumn(
+        "_bucket", lsh_bucket(F.col(vec_col), len(query), n_planes, seed))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    return brute_force_topk(cand, query, k, vec_col, key_col)
+
+
+def build_ann_index(df: DataFrame, path: str, dim: int,
+                    vec_col: str = "embedding", key_col: str = "vec_id",
+                    n_planes: int = 12, seed: int = 42) -> None:
+    """Materialize the LSH index: embeddings written PARTITIONED BY
+    bucket. A query then reads only its probe buckets' directories
+    (Catalyst partition pruning — pinned in tests/test_plans.py); at
+    10^10 vectors with 12 planes a 1-hamming probe touches 13/4096 of
+    storage instead of scanning everything."""
+    (df.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+     .write.mode("overwrite").partitionBy("_bucket").parquet(path))
+
+
+def ann_topk_lsh_indexed(spark, path: str, query: list[float], k: int = 10,
+                         vec_col: str = "embedding", key_col: str = "vec_id",
+                         n_planes: int = 12, probe_hamming: int = 1,
+                         seed: int = 42) -> DataFrame:
+    """Approximate top-k against a build_ann_index directory: the
+    bucket filter is a partition-column predicate, so only the probe
+    buckets' files are read."""
+    probes = probe_buckets(query, n_planes, probe_hamming, seed)
+    cand = spark.read.parquet(path).filter(F.col("_bucket").isin(probes))
     return brute_force_topk(cand, query, k, vec_col, key_col)

@@ -39,7 +39,7 @@ class TestFullCrawl:
         st = world["store"]
         jobs = st.read(spark, "jobs")
         extracted = st.read(spark, "extracted")
-        frontier = st.read(spark, "frontier")
+        frontier = world["drv"].frontier_view()  # resolved O(delta) state
 
         # ~5% of urls are robots-disallowed, never fetched
         n_disallowed = frontier.filter(F.col("state") == "disallowed").count()
@@ -99,8 +99,7 @@ class TestFullCrawl:
         stats = drv.run_until_done(world["pages"], robots, world["ranks"], 40)
         # eventually drains completely
         assert drv.pending_count() == 0
-        st = world["store"]
-        frontier = st.read(spark, "frontier")
+        frontier = drv.frontier_view()
         assert frontier.filter(F.col("state") == "pending").count() == 0
 
 
@@ -108,10 +107,18 @@ class TestResume:
     def test_kill_resume_bit_identical(self, spark, tmp_path, world):
         """north_rule P10: kill after wave k; resume produces the same
         frontier/seen/jobs as the uninterrupted run."""
-        # uninterrupted run in store A
+        # uninterrupted run in store A (hashes over the RESOLVED views —
+        # the observable state of the O(delta) commit scheme)
+        def state_hashes(drv):
+            return {
+                "frontier": table_hash(drv.frontier_view()),
+                "seen": table_hash(drv.seen_view()),
+                "jobs": table_hash(drv.store.read(spark, "jobs")),
+                "extracted": table_hash(drv.store.read(spark, "extracted")),
+            }
+
         crawl_all(world)
-        hA = {t: table_hash(world["store"].read(spark, t))
-              for t in ("frontier", "seen", "jobs", "extracted")}
+        hA = state_hashes(world["drv"])
 
         # interrupted run in store B: wave 1, "crash", new driver resumes
         storeB = SnapshotStore(tmp_path / "whB")
@@ -124,8 +131,7 @@ class TestResume:
         (orphan / "part-zzz.parquet").write_bytes(b"garbage")
         drvB2 = WaveDriver(spark, SnapshotStore(storeB.root), num_partitions=4)
         drvB2.run_until_done(world["pages"], world["robots"], world["ranks"], 6)
-        hB = {t: table_hash(SnapshotStore(storeB.root).read(spark, t))
-              for t in ("frontier", "seen", "jobs", "extracted")}
+        hB = state_hashes(drvB2)
         assert hA == hB
 
     def test_time_travel(self, spark, world):
@@ -145,12 +151,83 @@ class TestParallelismInvariance:
         with different partition counts (the local analogue of N vs 4N
         executors holding the same crawl order + seen set)."""
         crawl_all(world)
-        hA = {t: table_hash(world["store"].read(spark, t))
-              for t in ("seen", "jobs", "extracted")}
+        drvA = world["drv"]
+        hA = (table_hash(drvA.seen_view()),
+              table_hash(drvA.store.read(spark, "jobs")),
+              table_hash(drvA.store.read(spark, "extracted")))
         storeB = SnapshotStore(tmp_path / "whP")
         drvB = WaveDriver(spark, storeB, num_partitions=13)
         drvB.bootstrap(world["seeds"])
         drvB.run_until_done(world["pages"], world["robots"], world["ranks"], 6)
-        hB = {t: table_hash(storeB.read(spark, t))
-              for t in ("seen", "jobs", "extracted")}
+        hB = (table_hash(drvB.seen_view()),
+              table_hash(drvB.store.read(spark, "jobs")),
+              table_hash(drvB.store.read(spark, "extracted")))
         assert hA == hB
+
+
+class TestDeltaState:
+    def test_missing_urls_retried_then_capped(self, spark, tmp_path, world):
+        """P8: a scheduled url absent from pages returns to the pending
+        pool (state='pending', attempts+1) and is retried until
+        max_retries, then parked — never silently dropped in a
+        transient 'scheduled' state."""
+        # drop a slice of detail pages from the corpus
+        pages = world["pages"].filter(~F.col("url").rlike(r"3\.html$"))
+        dropped = world["pages"].join(pages, "url", "left_anti")
+        n_dropped_details = dropped.count()
+        assert n_dropped_details > 0
+        drv = world["drv"]
+        stats = drv.run_until_done(pages, world["robots"], world["ranks"], 12)
+        missing_waves = [s["missing"] for s in stats if s["missing"] > 0]
+        assert len(missing_waves) == drv.max_retries  # retried to the cap
+        parked = (drv.frontier_view()
+                  .filter((F.col("state") == "pending")
+                          & (F.col("attempts") >= drv.max_retries)))
+        assert parked.count() > 0
+        assert drv.pending_count() == 0  # capped rows leave the pool
+
+    def test_zero_budget_wave_stops_loop(self, spark, world):
+        """Starvation guard: a wave that only defers (zero tokens) is
+        no progress -> stop, even though the pending count is static."""
+        robots0 = spark.createDataFrame(
+            synth.gen_robots().assign(tokens_per_wave=0))
+        stats = world["drv"].run_until_done(
+            world["pages"], robots0, world["ranks"], 10)
+        assert len(stats) == 1
+        assert stats[0]["fetched"] == 0 and stats[0]["deferred"] > 0
+
+    def test_equal_pending_count_with_progress_continues(self, spark, world):
+        """A wave that fetches N list pages while enqueuing ~N links
+        keeps the loop alive (work done, not pending-count equality)."""
+        stats = crawl_all(world)
+        assert len(stats) >= 2  # wave 2 ran despite similar pending counts
+
+    def test_per_wave_commit_is_o_delta(self, spark, world):
+        """The frontier/seen appends of a wave contain ONLY that wave's
+        changed rows — not a rewrite of the full state table."""
+        crawl_all(world)
+        st = world["store"]
+        total = world["drv"].frontier_view().count()
+        # last wave's frontier delta dir
+        last_entry = st.snapshots()[-1]["tables"]["frontier"]
+        assert isinstance(last_entry, list) and len(last_entry) >= 3
+        last_delta = spark.read.parquet(str(st.root / last_entry[-1]))
+        assert 0 < last_delta.count() < total  # strictly a subset
+
+    def test_compaction_preserves_views(self, spark, tmp_path, world):
+        """compact() (here auto, every wave) rewrites the base without
+        changing the resolved views or the crawl outcome."""
+        crawl_all(world)
+        hA = (table_hash(world["drv"].frontier_view()),
+              table_hash(world["drv"].seen_view()))
+        storeB = SnapshotStore(tmp_path / "whC")
+        drvB = WaveDriver(spark, storeB, num_partitions=4, compact_every=1)
+        drvB.bootstrap(world["seeds"])
+        drvB.run_until_done(world["pages"], world["robots"], world["ranks"], 6)
+        hB = (table_hash(drvB.frontier_view()), table_hash(drvB.seen_view()))
+        assert hA == hB
+        # after compaction the base is a single dir + later deltas
+        fr_entry = storeB.snapshots()[-1]["tables"]["frontier"]
+        base_len = len(fr_entry) if isinstance(fr_entry, list) else 1
+        raw = storeB.read(spark, "frontier").count()
+        assert raw == drvB.frontier_view().count()  # fully compacted base

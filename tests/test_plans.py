@@ -100,3 +100,44 @@ class TestCrawlPipeline:
             [("s", "1", "h", "100")], "source string, id string, host string, last_updated_on string")
         plan = optimized_of(D.classify(cands, seen))
         assert plan.count("Join LeftOuter") == 1
+
+class TestPolitenessPlan:
+    def test_no_python_stage_in_schedule(self, spark):
+        """Round-2 fix: slot assignment is JVM window arithmetic, not a
+        grouped-map pandas UDF — no FlatMapGroupsInPandas anywhere."""
+        df = Q.q_politeness_schedule(spark, SF)
+        plan = plan_of(df)
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Window" in plan
+
+
+class TestAnnIndex:
+    def test_probe_prunes_partitions(self, spark, tmp_path):
+        """The persisted LSH index is partitioned by bucket; a probe
+        reads only its buckets' directories (partition pruning)."""
+        from crawlspark import textops as X
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        path = str(tmp_path / "annidx")
+        X.build_ann_index(emb, path, dim=len(q), n_planes=6)
+        df = X.ann_topk_lsh_indexed(spark, path, q, k=10, n_planes=6,
+                                    probe_hamming=1)
+        plan = plan_of(df)
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "_bucket" in m.group(1)
+
+    def test_indexed_equals_unindexed(self, spark, tmp_path):
+        from crawlspark import textops as X
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        path = str(tmp_path / "annidx2")
+        X.build_ann_index(emb, path, dim=len(q), n_planes=6)
+        a = [(r["vec_id"], r["cosine"]) for r in
+             X.ann_topk_lsh(emb, q, k=10, n_planes=6, probe_hamming=2).collect()]
+        b = [(r["vec_id"], r["cosine"]) for r in
+             X.ann_topk_lsh_indexed(spark, path, q, k=10, n_planes=6,
+                                    probe_hamming=2).collect()]
+        assert a == b
