@@ -51,6 +51,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import time
 from datetime import datetime, timedelta
 
@@ -74,8 +75,8 @@ WAVE_SECONDS = 3600  # one wave = one cron cycle (cmd/vieclam24h/crawler/main.go
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 _SEEN_COLS = [f.name for f in SEEN_SCHEMA.fields]
 
-_STAT_KEYS = ("fetched", "missing", "deferred", "disallowed", "enqueued",
-              "new", "updated", "unchanged", "jobs", "pending_next")
+_STAT_KEYS = ("fetched", "missing", "missing_retryable", "deferred",
+              "disallowed", "enqueued", "new", "updated", "unchanged")
 
 
 def wave_start(wave: int) -> datetime:
@@ -287,24 +288,17 @@ class WaveDriver:
             now_ts, n_salts=self.n_salts)
             .withColumn("_wseq", F.lit(wave)))
 
-        # incremental bloom maintenance: delta bloom at fixed capacity,
-        # OR-merged into the stored table — O(delta + n_salts)
-        blooms_out = None
-        if self.use_bloom:
-            delta_blooms = D.build_blooms(
-                seen_new, capacity_per_salt=self.bloom_capacity_per_salt)
-            blooms_out = (D.merge_blooms(blooms_prev, delta_blooms)
-                          if blooms_prev is not None else delta_blooms)
-
         # ---- detail pages -> extract -> normalize -> jobs append ---------
         details = processed.filter(F.col("depth") > 0)
         staged = (details
                   .withColumn("source", F.lit(self.source))
                   .withColumn("item_title", F.col("x.title"))
                   .withColumn("crawled_at", F.col("_warc_ts")))
+        # single-consumer frame: its one write computes it once — no
+        # cache, and it stays OUT of the counter job (the normalize +
+        # unescape-pUDF subtree would dominate the stats action)
         jobs_batch = (normalize_vieclam24h(staged).dropDuplicates(["id"])
-                      .withColumn("wave", F.lit(wave))
-                      .persist())
+                      .withColumn("wave", F.lit(wave)))
 
         # the byte-identity surface (C2, worker.go:145-147): CleanToText of
         # the extracted description, committed per url
@@ -356,35 +350,63 @@ class WaveDriver:
 
         # ---- the SINGLE driver-side action --------------------------------
         # One unioned counter aggregate materializes sched/processed/
-        # classified/jobs caches AND returns every wave stat including
-        # the next pending count (loop control) — the driver-side
-        # serial fraction is one job, not ~11.
-        stored_frontier = self.store.read(spark, "frontier")
-        next_frontier = stored_frontier.unionByName(frontier_delta)
-        w_next = Window.partitionBy("url").orderBy(F.col("_wseq").desc())
-        pending_next = (next_frontier
-                        .withColumn("_rn", F.row_number().over(w_next))
-                        .filter(F.col("_rn") == 1)
-                        .filter(self._pending()))
+        # classified caches AND returns every wave stat — the driver-
+        # side serial fraction is one job, not ~11. Loop control needs
+        # no frontier re-read: the scheduler partitions EVERY pending
+        # row into scheduled/deferred/disallowed, so work remains after
+        # this wave iff something was enqueued, deferred, or returned
+        # retryable-missing (exact, zero extra shuffle).
         branches = {
             "fetched": processed,
             "missing": missing,
+            "missing_retryable": missing.filter(
+                F.col("attempts") < self.max_retries),
             "deferred": deferred,
             "disallowed": disallowed,
             "enqueued": enqueue,
             "new": classified.filter(F.col("status") == D.STATUS_NEW),
             "updated": classified.filter(F.col("status") == D.STATUS_UPDATED),
             "unchanged": classified.filter(F.col("status") == D.STATUS_UNCHANGED),
-            "jobs": jobs_batch,
-            "pending_next": pending_next,
         }
+        _trace = os.environ.get("CRAWLSPARK_TRACE") == "1"
+        _t = time.time()
+
+        def _tick(label):
+            nonlocal _t
+            if _trace:
+                print(f"[wave {wave}] {label} {time.time() - _t:.2f}s", flush=True)
+            _t = time.time()
+
+        # Fill the extraction cache FIRST (one narrow job): the counter
+        # job's branches otherwise race as concurrent stages and can
+        # each recompute uncached pUDF partitions. Two driver actions
+        # per wave total.
+        processed.count()
+        _tick("extract")
         counters = None
         for k, df in branches.items():
             b = df.select(F.lit(k).alias("k"))
             counters = b if counters is None else counters.unionAll(b)
         counted = {r["k"]: r["n"] for r in
                    counters.groupBy("k").agg(F.count("*").alias("n")).collect()}
+        _tick("counter")
+
+        # incremental bloom maintenance: delta bloom at fixed capacity,
+        # OR-merged into the stored table — O(delta + n_salts); skipped
+        # entirely on waves that marked nothing new (detail waves)
+        blooms_out = None
+        if self.use_bloom and counted.get("enqueued", 0) > 0:
+            delta_blooms = D.build_blooms(
+                seen_new, capacity_per_salt=self.bloom_capacity_per_salt)
+            blooms_out = (D.merge_blooms(blooms_prev, delta_blooms)
+                          if blooms_prev is not None else delta_blooms)
+            _tick("blooms")
         stats = {"wave": wave, **{k: int(counted.get(k, 0)) for k in _STAT_KEYS}}
+        # exact pending-work indicator (see counter comment): deferred
+        # rows stay pending, enqueues become pending, retryable missing
+        # re-pend; every other pending row transitioned this wave
+        stats["work_remains"] = (stats["enqueued"] + stats["deferred"]
+                                 + stats["missing_retryable"]) > 0
 
         tables = {"blooms": blooms_out} if blooms_out is not None else {}
         self.store.commit(
@@ -393,11 +415,14 @@ class WaveDriver:
             appends={"frontier": frontier_delta, "seen": seen_new,
                      "jobs": jobs_batch, "extracted": extracted_batch,
                      "lineage": lineage_new, "jsonld_audit": audit},
-            output_partitions=self.snapshot_files)
+            output_partitions=self.snapshot_files,
+            # only the fat tables pay a file-sizing shuffle; control
+            # tables write with natural partitioning
+            repartition_tables={"jobs", "extracted"})
+        _tick("commit")
         sched.unpersist()
         processed.unpersist()
         classified.unpersist()
-        jobs_batch.unpersist()
         if self.compact_every and wave % self.compact_every == 0:
             self.compact()
         stats["wall_ms"] = int((time.time() - t0) * 1000)
@@ -462,6 +487,6 @@ class WaveDriver:
             out.append(stats)
             progressed = (stats["fetched"] + stats["enqueued"]
                           + stats["disallowed"] + stats["missing"]) > 0
-            if stats["pending_next"] == 0 or not progressed:
+            if not stats["work_remains"] or not progressed:
                 break
         return out

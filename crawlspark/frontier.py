@@ -50,6 +50,19 @@ def order_frontier(frontier: DataFrame, num_partitions: int = 32,
             .sortWithinPartitions(*order_cols()))
 
 
+def job_detail_url(host: Column, slug: Column, job_id: Column) -> Column:
+    """E10 job-URL construction (vieclam24h/crawler.go:220-221 URL
+    grammar): https://{host}/{slug}-c{cat}p{province}id{id}.html —
+    the engine-side builder (the generator's synth.detail_url mirrors
+    it for fixtures). cat/province are id-derived in the closed world
+    exactly as the fixtures derive them."""
+    c = (job_id % 50 + 1).cast("string")
+    p = (job_id % 63 + 1).cast("string")
+    return F.concat(F.lit("https://"), host, F.lit("/"), slug,
+                    F.lit("-c"), c, F.lit("p"), p,
+                    F.lit("id"), job_id.cast("string"), F.lit(".html"))
+
+
 def vnw_page_sequence(nb_pages: Column) -> Column:
     """S2 VietnamWorks pagination termination (vietnamworks/
     crawler.go:85-89, 101-115): pages are 0-INDEXED (payload Page: page)

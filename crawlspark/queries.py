@@ -625,6 +625,34 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+def q_job_url_construct(spark, sf):
+    """E10 job-URL construction (vieclam24h/crawler.go:220-221):
+    https://{host}/{slug}-c{cat}p{prov}id{id}.html built from typed
+    columns — the engine operator the crawler uses to enqueue detail
+    urls from API list items."""
+    from .frontier import job_detail_url
+
+    o = _t(spark, sf, "orders")
+    host = F.concat(F.lit("viec"),
+                    F.lpad((F.col("o_custkey") % 20).cast("string"), 2, "0"),
+                    F.lit(".example.vn"))
+    slug = F.concat(F.lit("job-"), F.col("o_orderpriority").substr(1, 1))
+    return (o.select("o_orderkey",
+                     job_detail_url(host, F.lower(slug),
+                                    F.col("o_orderkey")).alias("job_url"))
+            .orderBy("o_orderkey"))
+
+
+SQL_JOB_URL_CONSTRUCT = """
+SELECT o_orderkey,
+       'https://viec' || lpad((o_custkey % 20)::VARCHAR, 2, '0')
+       || '.example.vn/' || lower('job-' || substr(o_orderpriority, 1, 1))
+       || '-c' || (o_orderkey % 50 + 1) || 'p' || (o_orderkey % 63 + 1)
+       || 'id' || o_orderkey || '.html' AS job_url
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def q_api_projection(spark, sf):
     """E11 raw-projection layer (vieclam24h/crawler.go:219-280): a JSON
     API payload flattens to typed raw columns via a declarative
@@ -889,6 +917,28 @@ ORDER BY d.doc_id
 """
 
 
+def q_emb_near_dups(spark, sf):
+    """Embedding-cosine near-dup pairs, exact baseline on a modulo
+    subset (the LSH-bucketed variant is the scale path —
+    textops.embedding_near_dups default). Threshold below the random-
+    vector ceiling so real pairs exist."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    return (X.embedding_near_dups(emb, threshold=0.25, exact=True)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"), "cosine")
+            .orderBy("id_a", "id_b"))
+
+
+SQL_EMB_NEAR_DUPS = """
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id % 7 = 0 AND b.vec_id % 7 = 0
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.25
+ORDER BY id_a, id_b
+"""
+
+
 # -- rows-only entries (genuinely non-SQL ops: pUDF / engine state) --------
 
 
@@ -969,6 +1019,8 @@ QUERIES = {
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),
     "api_projection": (q_api_projection, SQL_API_PROJECTION),
+    "job_url_construct": (q_job_url_construct, SQL_JOB_URL_CONSTRUCT),
+    "emb_near_dups": (q_emb_near_dups, SQL_EMB_NEAR_DUPS),
     # rows-only (non-SQL-expressible: approximate / pUDF-only ops)
     "ann_lsh": (q_ann_lsh, None),
     "clean_to_text": (q_clean_to_text, None),

@@ -52,8 +52,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size bounds pandas-UDF memory per batch; HTML rows
-        # are fat (10-100 KB), so keep batches modest.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # are fat (~8-100 KB). Measured on this box (BENCH.md): 512-row
+        # batches (~4 MB) pipeline JVM->python best AND scale 2->8 cores
+        # at ~0.85 efficiency, where 2048-row batches plateau at ~0.6 —
+        # large Arrow allocations serialize in the memory subsystem.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("CRAWLSPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("CRAWLSPARK_DRIVER_MEM", "8g"))

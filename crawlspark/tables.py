@@ -78,12 +78,18 @@ class SnapshotStore:
     def commit(self, wave: int, tables: dict[str, DataFrame],
                partition_by: dict[str, list[str]] | None = None,
                output_partitions: int | None = None,
-               appends: dict[str, DataFrame] | None = None) -> int:
+               appends: dict[str, DataFrame] | None = None,
+               repartition_tables: set[str] | None = None) -> int:
         """Write `tables` (overwrite semantics) and `appends` (the wave's
         batch joins the table's directory list — O(batch) IO instead of
         an O(total) rewrite, like Iceberg appending data files), then
         atomically publish ONE snapshot covering both plus every
-        carried-forward table. Returns the new snapshot id."""
+        carried-forward table. Returns the new snapshot id.
+
+        repartition_tables limits the file-sizing repartition to the
+        named (fat) tables — small control/delta tables write with their
+        natural partitioning, saving one shuffle per table per wave
+        (Iceberg's writer handles file sizing in production)."""
         manifest = self._read_manifest()
         prev = manifest["snapshots"][-1] if manifest["snapshots"] else None
         sid = (prev["sid"] + 1) if prev else 1
@@ -93,7 +99,8 @@ class SnapshotStore:
         def _write(item):
             name, df = item
             rel = f"data/{sid}/{name}"
-            if output_partitions:
+            if output_partitions and (repartition_tables is None
+                                      or name in repartition_tables):
                 # Fewer output files avoid committer contention (Iceberg
                 # handles file sizing in production). MUST be repartition,
                 # not coalesce: coalesce would pull the upstream compute

@@ -309,6 +309,51 @@ def ann_topk_lsh(df: DataFrame, query: list[float], k: int = 10,
     return brute_force_topk(cand, query, k, vec_col, key_col)
 
 
+def cosine_pair_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two vector columns — built-in zip_with /
+    aggregate, codegen, no UDF."""
+    va, vb = a.cast("array<double>"), b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.9,
+                        vec_col: str = "embedding",
+                        key_col: str = "vec_id",
+                        n_planes: int = 8, seed: int = 42,
+                        exact: bool = False, dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= τ).
+
+    Scale path (default): candidates = same-LSH-bucket pairs (equi
+    join on the hyperplane bucket — never cartesian), exact cosine
+    verify bounded to candidates; recall < 1 by construction (raise
+    n_planes probes or lower n_planes for more recall).
+    exact=True: full pair join for bounded corpora / oracle checks.
+    """
+    if exact:
+        a = df.select(F.col(key_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(key_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[vec_col])
+        bucketed = df.withColumn(
+            "_b", lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+        a = bucketed.select(F.col(key_col).alias("id_a"),
+                            F.col(vec_col).alias("va"), "_b")
+        b = bucketed.select(F.col(key_col).alias("id_b"),
+                            F.col(vec_col).alias("vb"), "_b")
+        pairs = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_pair_sim(F.col("va"), F.col("vb")), 6)
+    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 def build_ann_index(df: DataFrame, path: str, dim: int,
                     vec_col: str = "embedding", key_col: str = "vec_id",
                     n_planes: int = 12, seed: int = 42) -> None:

@@ -160,3 +160,45 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             M.real_decode(b"x", "image")
+
+
+class TestNormText:
+    def test_fold_roundtrip(self, spark):
+        import pandas as pd
+        from crawlspark.textops import norm_text, fold_ascii, _VI_CHARS
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "t": ["Kỹ Sư Dữ Liệu", "kinh nghiệm 5 năm", _VI_CHARS, "plain ascii"]}))
+        got = [r["n"] for r in df.select(norm_text(F.col("t")).alias("n")).collect()]
+        assert got[0] == "ky su du lieu"
+        assert got[1] == "kinh nghiem 5 nam"
+        assert got[2] == "a" * 17 + "e" * 11 + "i" * 5 + "o" * 17 + "u" * 11 + "y" * 5 + "d"
+        assert got[3] == "plain ascii"
+
+    def test_search_parity(self, spark):
+        """The Q4 contract: 'ky su' (user input, no diacritics) matches
+        a diacritic title through the norm column."""
+        import pandas as pd
+        from crawlspark.textops import norm_text
+
+        df = spark.createDataFrame(pd.DataFrame({
+            "title": ["Tuyển Kỹ Sư Phần Mềm", "Nhân viên kinh doanh"]}))
+        hit = df.filter(norm_text(F.col("title")).contains("ky su")).count()
+        assert hit == 1
+
+
+class TestEmbeddingNearDups:
+    def test_lsh_subset_of_exact(self, spark):
+        """LSH-bucketed pairs are a subset of exact pairs (same cosine
+        values), never false positives after verification."""
+        from crawlspark.textops import embedding_near_dups
+
+        emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+               .filter(F.col("vec_id") % 5 == 0))
+        exact = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+                 embedding_near_dups(emb, threshold=0.25, exact=True).collect()}
+        lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+               embedding_near_dups(emb, threshold=0.25, n_planes=4).collect()}
+        assert set(lsh) <= set(exact)
+        assert all(exact[k] == v for k, v in lsh.items())
+        assert len(exact) > 0
