@@ -1,0 +1,115 @@
+"""Codec round-trips for the self-contained multimodal decoders:
+PNG (encode/decode incl. non-zero scanline filters), PPM, PCM16 WAV,
+the CSV1 video container, and the resize kernel."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from crawlspark import multimodal as M
+
+
+class TestPng:
+    def test_rgb_roundtrip(self):
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+        assert np.array_equal(M.decode_png(M.encode_png(px)), px)
+
+    def test_gray_roundtrip(self):
+        rng = np.random.default_rng(8)
+        px = rng.integers(0, 256, (9, 5), dtype=np.uint8)
+        assert np.array_equal(M.decode_png(M.encode_png(px)), px)
+
+    def test_nonzero_filters_decode(self):
+        """Hand-build a PNG whose scanlines use filters 1 (Sub),
+        2 (Up), 3 (Average) and 4 (Paeth) — the decoder must invert
+        each (PNG spec §6)."""
+        rng = np.random.default_rng(9)
+        px = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+        h, w, ch = px.shape
+        stride = w * ch
+        flat = px.reshape(h, stride).astype(np.int32)
+        lines = []
+        for y, f in enumerate((1, 2, 3, 4)):
+            cur = flat[y]
+            prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+            left = np.concatenate([[0] * ch, cur[:-ch]])
+            ul = np.concatenate([[0] * ch, prev[:-ch]]) if y else np.zeros(stride, dtype=np.int32)
+            if f == 1:
+                enc = (cur - left) % 256
+            elif f == 2:
+                enc = (cur - prev) % 256
+            elif f == 3:
+                enc = (cur - (left + prev) // 2) % 256
+            else:
+                pa = np.abs(prev - ul)
+                pb = np.abs(left - ul)
+                pc = np.abs(left + prev - 2 * ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, ul))
+                enc = (cur - pred) % 256
+            lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        data = (b"\x89PNG\r\n\x1a\n"
+                + M._png_chunk(b"IHDR", ihdr)
+                + M._png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + M._png_chunk(b"IEND", b""))
+        assert np.array_equal(M.decode_png(data), px)
+
+    def test_rejects_non_png(self):
+        with pytest.raises(ValueError):
+            M.decode_png(b"GIF89a....")
+
+
+class TestOtherCodecs:
+    def test_ppm_roundtrip(self):
+        rng = np.random.default_rng(10)
+        px = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
+        assert np.array_equal(M.decode_ppm(M.encode_ppm(px)), px)
+
+    def test_wav_roundtrip(self):
+        t = np.arange(4000)
+        samples = (12000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+        out, rate = M.decode_wav(M.encode_wav(samples, 16000))
+        assert rate == 16000
+        assert np.array_equal(out, samples)
+
+    def test_video_container_and_sampling(self):
+        frames = [np.full((8, 8, 3), k * 20, dtype=np.uint8) for k in range(10)]
+        blob = M.encode_video(frames)
+        decoded = [M.decode_png(p) for p in M.iter_video_frames(blob)]
+        assert len(decoded) == 10
+        assert all(np.array_equal(a, b) for a, b in zip(decoded, frames))
+        feat, n = M.decode_and_featurize(blob, "video", "video/x-csv1",
+                                         frame_stride=4)
+        assert n == 3  # frames 0, 4, 8
+        assert len(feat) == M.FEATURE_DIM
+
+    def test_resize_nearest(self):
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        t = M.resize_nearest(px, 4, 4)
+        assert t.shape == (4, 4)
+        assert t[0, 0] == px[0, 0] and t[3, 3] == px[6, 6]
+
+
+class TestFeatures:
+    def test_audio_feature_separates_tones(self):
+        t = np.arange(8000)
+        low = (10000 * np.sin(2 * np.pi * 100 * t / 16000)).astype(np.int16)
+        high = (10000 * np.sin(2 * np.pi * 6000 * t / 16000)).astype(np.int16)
+        fl = M.audio_feature(low, 16000)
+        fh = M.audio_feature(high, 16000)
+        # energy concentrates in different FFT bands
+        assert np.argmax(fl[2:10]) < np.argmax(fh[2:10])
+        # zero-crossing rate much higher for the high tone
+        assert fh[1] > fl[1] * 5
+
+    def test_image_feature_reflects_brightness(self):
+        dark = np.zeros((16, 16, 3), dtype=np.uint8)
+        bright = np.full((16, 16, 3), 250, dtype=np.uint8)
+        fd = M.image_feature(dark)
+        fb = M.image_feature(bright)
+        assert fb[0] > 0.9 and fd[0] < 0.1          # channel means
+        assert fd[6] == 1.0 and fb[13] == 1.0       # histogram extremes
