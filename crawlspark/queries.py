@@ -974,6 +974,22 @@ def q_ann_lsh(spark, sf):
             .select(F.col("vec_id").cast("long").alias("vec_id"), "cosine"))
 
 
+def q_media_features(spark, sf):
+    """Multimodal decode/resize/featurize over real PNG/WAV/CSV1-video
+    payloads (rows-only: binary codecs are not SQL-expressible; codec
+    round-trips are pinned by tests/test_multimodal.py). The media
+    table is synthesized deterministically — no external data."""
+    from . import multimodal as M
+
+    media = spark.createDataFrame(M.gen_media_pandas(120),
+                                  schema=M.MEDIA_SCHEMA)
+    return (M.extract_features(media)
+            .select(F.col("media_id").cast("long").alias("media_id"),
+                    "kind", "feature",
+                    F.col("n_frames").cast("long").alias("n_frames"))
+            .orderBy("media_id"))
+
+
 def q_clean_to_text(spark, sf):
     """C2 byte-identity cleaner over documents-as-HTML (pandas UDF —
     rows-only; the byte gate itself is pinned by pytest golden tests)."""
@@ -1024,4 +1040,5 @@ QUERIES = {
     # rows-only (non-SQL-expressible: approximate / pUDF-only ops)
     "ann_lsh": (q_ann_lsh, None),
     "clean_to_text": (q_clean_to_text, None),
+    "media_features": (q_media_features, None),
 }

@@ -44,16 +44,54 @@ VIECLAM24H_API_MAPPING: dict[str, tuple[str, str]] = {
 }
 
 
+def _schema_from_mapping(mapping: dict[str, tuple[str, str]]):
+    """Build the minimal from_json schema covering every mapped path.
+    Leaves parse as STRING (try_cast applies the target type after —
+    preserving the lenient 'string "5" is a fine int' tolerance of the
+    reference's map pulls, which a typed from_json field would lose)."""
+    from pyspark.sql import types as T
+
+    root: dict = {}
+    for _, (path, _t) in mapping.items():
+        parts = path.lstrip("$.").split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node.setdefault(parts[-1], None)
+
+    def build(node: dict) -> T.StructType:
+        fields = []
+        for k, v in node.items():
+            dt = build(v) if isinstance(v, dict) else T.StringType()
+            fields.append(T.StructField(k, dt, True))
+        return T.StructType(fields)
+
+    return build(root)
+
+
 def project_api_items(df: DataFrame, json_col: str,
                       mapping: dict[str, tuple[str, str]],
-                      keep: list[str] | None = None) -> DataFrame:
+                      keep: list[str] | None = None,
+                      single_parse: bool = True) -> DataFrame:
     """Flatten a JSON API payload column into typed raw columns.
 
-    mapping: {out_col: (json_path, sql_type)}. get_json_object returns
-    NULL for absent paths; try_cast returns NULL for malformed values —
-    both feed the normalizer's zero-value coalescing exactly like the
-    reference's ``map[string]any`` pulls."""
+    mapping: {out_col: (json_path, sql_type)}. Absent paths project to
+    NULL; malformed values try_cast to NULL — both feed the
+    normalizer's zero-value coalescing exactly like the reference's
+    ``map[string]any`` pulls.
+
+    single_parse (default): compile the mapping to ONE from_json over
+    a derived schema + struct field selects — the payload is parsed
+    once per row instead of once per mapped column (len(mapping)×
+    cheaper on wide mappings). single_parse=False keeps the
+    get_json_object-per-path form (supports array indexing paths)."""
     keep_cols = [F.col(c) for c in (keep or [])]
+    if single_parse and all("[" not in p for p, _ in mapping.values()):
+        schema = _schema_from_mapping(mapping)
+        parsed = df.withColumn("_parsed", F.from_json(F.col(json_col), schema))
+        proj = [F.col("_parsed." + path.lstrip("$.")).try_cast(t).alias(name)
+                for name, (path, t) in mapping.items()]
+        return parsed.select(*keep_cols, *proj)
     proj = [F.get_json_object(F.col(json_col), path).try_cast(t).alias(name)
             for name, (path, t) in mapping.items()]
     return df.select(*keep_cols, *proj)

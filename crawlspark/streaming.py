@@ -67,6 +67,17 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming D3 (IsSeen/MarkSeen as a stream operator):
+    dropDuplicatesWithinWatermark keeps one row per key with state
+    BOUNDED by the watermark — the unbounded-stream twin of the batch
+    seen-set anti-join (deduplicator.go:49-67's first-writer-wins), for
+    feeds where a key may legitimately reappear after the horizon."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys or ["event_id"]))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       output_mode: str, checkpoint_dir: str) -> DataFrame:
     """Drain the whole source as a stream (trigger availableNow) into a

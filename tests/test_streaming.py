@@ -46,3 +46,26 @@ def test_running_user_counts_stateful(spark, tmp_path, events_dir):
     joined = final.join(want, "user_id")
     assert joined.filter(F.col("total_events") != F.col("n")).count() == 0
     assert final.count() == want.count()
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Streaming dedup: duplicated event_ids collapse to one row per
+    key, exactly matching the batch distinct."""
+    import pandas as pd
+    from crawlspark import streaming as S
+
+    src = str(tmp_path / "dup_events")
+    base = pd.DataFrame({
+        "event_id": [1, 2, 3, 2, 1, 4],
+        "ts": pd.to_datetime(["2026-01-01 00:00:00"] * 6),
+        "user_id": [10, 11, 12, 11, 10, 13],
+        "event_type": ["a"] * 6,
+        "value": [1.0] * 6,
+        "props": ["{}"] * 6,
+    })
+    spark.createDataFrame(base).write.mode("overwrite").parquet(src)
+    stream = S.dedup_stream(S.read_events_stream(spark, src))
+    out = S.run_available_now(stream, "dedup_stream_t", "append",
+                              str(tmp_path / "ckpt_dedup"))
+    rows = out.collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4]
