@@ -43,10 +43,12 @@ Scale notes:
   by url hash (storage-layer config); plan shape is identical.
 - html stays BINARY end-to-end and is dropped inside the same stage
   that extracts from it; nothing html-bearing is ever persisted.
-- exactly ONE driver-side action per wave: a unioned counter
-  aggregate that simultaneously materializes every shared cache and
-  returns all wave stats + the next pending count (the round-1 serial
-  floor of ~11 separate .count() actions is gone).
+- exactly TWO driver-side actions per wave: a narrow count that fills
+  the extraction cache (serializing the pUDF so concurrent counter
+  stages cannot duplicate it), then ONE unioned counter aggregate
+  returning every wave stat; loop control is exact arithmetic over
+  those stats, never a frontier re-read (the round-1 serial floor of
+  ~11 separate .count() actions is gone).
 """
 
 from __future__ import annotations
