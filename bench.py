@@ -60,26 +60,38 @@ if __name__ == "__main__":
 """
 
 
-def memory_bandwidth(procs: int) -> float:
+def memory_bandwidth(procs: int, best_of: int = 3) -> float:
     """Aggregate memcpy GB/s at a given process count — the hardware
-    scaling ceiling for any data-moving engine on this box. (Measured:
-    this sandbox's bandwidth COLLAPSES ~7x beyond ~8 concurrent
-    memory-heavy workers; see BENCH.md.) Runs in a clean subprocess —
-    forking a JVM-attached parent is not safe."""
+    scaling ceiling for any data-moving engine on this box. Best-of-N:
+    the HOST's available bandwidth swings ~5x minute-to-minute (noisy
+    neighbors; measured 6-33 GB/s at 2 procs across 4 back-to-back
+    runs), so max approximates uncontended capability. Also measured:
+    bandwidth collapses ~10x beyond ~8 concurrent memory-heavy
+    workers. Runs in a clean subprocess — forking a JVM-attached
+    parent is not safe."""
     import subprocess
 
-    out = subprocess.run([sys.executable, "-c", _BW_SCRIPT, str(procs)],
-                         capture_output=True, text=True, timeout=120)
-    return float(out.stdout.strip())
+    vals = []
+    for _ in range(best_of):
+        out = subprocess.run([sys.executable, "-c", _BW_SCRIPT, str(procs)],
+                             capture_output=True, text=True, timeout=120)
+        vals.append(float(out.stdout.strip()))
+    return max(vals)
 
 
-def _spark(cpus: int, master: str | None = None):
+def _spark(cpus: int, master: str | None = None,
+           executor_mem: str | None = None):
     from crawlspark.session import get_spark
 
+    conf = {"spark.driver.memory":
+            os.environ.get("CRAWLSPARK_BENCH_MEM", "24g")}
+    if executor_mem:
+        # local-cluster's [mem] is worker CAPACITY; the executor JVM
+        # size is spark.executor.memory (default 1g) and must be set
+        # explicitly or executors OOM regardless of worker capacity
+        conf["spark.executor.memory"] = executor_mem
     return get_spark("crawlspark-bench", master=master or f"local[{cpus}]",
-                     shuffle_partitions=cpus,
-                     extra_conf={"spark.driver.memory":
-                                 os.environ.get("CRAWLSPARK_BENCH_MEM", "24g")})
+                     shuffle_partitions=cpus, extra_conf=conf)
 
 
 def run_queries(spark) -> dict[str, float]:
@@ -119,10 +131,11 @@ def _one_crawl(spark, cpus, pages, seeds, robots, ranks):
 
 def crawl_run(cpus: int, pages_path: str, warm_path: str,
               seeds, warm_seeds, robots_pdf, ranks_pdf,
-              master: str | None = None):
+              master: str | None = None,
+              executor_mem: str | None = None):
     """Warm-up crawl (untimed: JIT/codegen/python-worker spin-up), then
     the timed full crawl; returns (urls, secs, fingerprint)."""
-    spark = _spark(cpus, master)
+    spark = _spark(cpus, master, executor_mem)
     try:
         robots = spark.createDataFrame(robots_pdf)
         ranks = spark.createDataFrame(ranks_pdf)
@@ -177,9 +190,14 @@ def state_commit_probe(rows_per_wave: int = 200_000, waves: int = 6):
             drv.frontier_view().filter(F.col("state") == "pending") \
                .write.mode("overwrite").format("noop").save()
             times.append(round(time.time() - t0, 2))
+        import statistics
+        half = max(len(times) // 2, 1)
         return {"rows_per_wave": rows_per_wave,
                 "wall_s": times,
-                "flat_ratio": round(times[-1] / max(times[0], 1e-9), 2)}
+                # median(second half)/median(first half): robust to the
+                # host's per-run latency noise
+                "flat_ratio": round(statistics.median(times[half:])
+                                    / max(statistics.median(times[:half]), 1e-9), 2)}
     finally:
         spark.stop()
         shutil.rmtree(wh, ignore_errors=True)
@@ -227,17 +245,22 @@ def main():
         scale_lo, pages_path, warm_path, seeds, warm_seeds, robots_pdf, ranks_pdf)
 
     # EXECUTOR-shaped N->4N pair (north_rule: "two cluster sizes, N and
-    # 4N executors"): separate-JVM local-cluster with 2 vs 8 executors
-    # of 4 cores each — the closest this sandbox gets to spark-submit
-    # on a real cluster. Same corpus, same warm-up, same fingerprint.
+    # 4N executors"): separate-JVM local-cluster with 1 vs 4 executors
+    # of 4 cores each — the literal N=1 -> 4N=4 executor step, and the
+    # widest pair that stays inside this box's memory subsystem (32
+    # concurrent procs collapse memcpy ~10x; 8x4 executors measure the
+    # host cliff, not the engine). Same corpus, warm-up, fingerprint.
     xec_lo = xec_hi = None
     if os.environ.get("CRAWLSPARK_EXEC_PAIR", "1") == "1":
+        xmem = os.environ.get("CRAWLSPARK_EXEC_MEM", "12288")
         _, xsec_lo, xfp_lo = crawl_run(
-            8, pages_path, warm_path, seeds, warm_seeds, robots_pdf,
-            ranks_pdf, master="local-cluster[2,4,6144]")
+            4, pages_path, warm_path, seeds, warm_seeds, robots_pdf,
+            ranks_pdf, master=f"local-cluster[1,4,{xmem}]",
+            executor_mem=f"{xmem}m")
         xurls, xsec_hi, xfp_hi = crawl_run(
-            32, pages_path, warm_path, seeds, warm_seeds, robots_pdf,
-            ranks_pdf, master="local-cluster[8,4,6144]")
+            16, pages_path, warm_path, seeds, warm_seeds, robots_pdf,
+            ranks_pdf, master=f"local-cluster[4,4,{xmem}]",
+            executor_mem=f"{xmem}m")
         xec_lo = xurls / xsec_lo
         xec_hi = xurls / xsec_hi
         exec_det = xfp_lo == xfp_hi
@@ -255,7 +278,9 @@ def main():
     # past the memory subsystem)
     bw_lo = memory_bandwidth(scale_lo)
     bw_hi = memory_bandwidth(scale_hi)
-    hw_scaling = (bw_hi / bw_lo) / (scale_hi / scale_lo)
+    # clamp: a "ceiling" above ideal is probe noise (host bandwidth
+    # contention can throttle the LO sample), not real headroom
+    hw_scaling = min((bw_hi / bw_lo) / (scale_hi / scale_lo), 1.0)
     out = {
         "metric": f"urls_per_sec_local{CPUS}",
         "value": round(thr_full, 2),
@@ -282,8 +307,8 @@ def main():
         "state_commit": state_probe,
     }
     if xec_lo is not None:
-        out["crawl"]["thr_exec_2x4"] = round(xec_lo, 2)
-        out["crawl"]["thr_exec_8x4"] = round(xec_hi, 2)
+        out["crawl"]["thr_exec_1x4"] = round(xec_lo, 2)
+        out["crawl"]["thr_exec_4x4"] = round(xec_hi, 2)
         out["crawl"]["scaling_efficiency_executor"] = round(
             xec_hi / (4 * xec_lo), 3)
         out["crawl"]["determinism_ok_executor"] = exec_det
