@@ -100,10 +100,18 @@ class WaveDriver:
                  n_salts: int = D.N_SALTS, max_retries: int = 3,
                  use_bloom: bool = True, collect_stats: bool = True,
                  snapshot_files: int | None = 8, compact_every: int = 8,
-                 bloom_capacity_per_salt: int = 1_000_000):
+                 bloom_capacity_per_salt: int = 1_000_000,
+                 normalize_fn=None):
         self.spark = spark
         self.store = store
         self.source = source
+        # N1 source dispatch (normalizer.go:30-43): the per-source
+        # normalizer is an injectable seam; the closed-world fixtures
+        # are vieclam24h-shaped, so that path is the default. The other
+        # reference paths (normalize_vietnamworks / normalize_topdev /
+        # normalize_generic) plug in here against their own staged
+        # input contracts.
+        self.normalize_fn = normalize_fn or normalize_vieclam24h
         self.num_partitions = num_partitions
         self.n_salts = n_salts
         self.max_retries = max_retries
@@ -299,7 +307,7 @@ class WaveDriver:
         # single-consumer frame: its one write computes it once — no
         # cache, and it stays OUT of the counter job (the normalize +
         # unescape-pUDF subtree would dominate the stats action)
-        jobs_batch = (normalize_vieclam24h(staged).dropDuplicates(["id"])
+        jobs_batch = (self.normalize_fn(staged).dropDuplicates(["id"])
                       .withColumn("wave", F.lit(wave)))
 
         # the byte-identity surface (C2, worker.go:145-147): CleanToText of
