@@ -56,7 +56,14 @@ def _schema_from_mapping(mapping: dict[str, tuple[str, str]]):
         parts = path.lstrip("$.").split(".")
         node = root
         for p in parts[:-1]:
-            node = node.setdefault(p, {})
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                # same key mapped as both leaf and object ($.a AND
+                # $.a.b): not expressible as one struct schema
+                raise ValueError(f"conflicting paths at {p!r}")
+            node = nxt
+        if isinstance(node.get(parts[-1]), dict):
+            raise ValueError(f"conflicting paths at {parts[-1]!r}")
         node.setdefault(parts[-1], None)
 
     def build(node: dict) -> T.StructType:
@@ -87,11 +94,16 @@ def project_api_items(df: DataFrame, json_col: str,
     get_json_object-per-path form (supports array indexing paths)."""
     keep_cols = [F.col(c) for c in (keep or [])]
     if single_parse and all("[" not in p for p, _ in mapping.values()):
-        schema = _schema_from_mapping(mapping)
-        parsed = df.withColumn("_parsed", F.from_json(F.col(json_col), schema))
-        proj = [F.col("_parsed." + path.lstrip("$.")).try_cast(t).alias(name)
-                for name, (path, t) in mapping.items()]
-        return parsed.select(*keep_cols, *proj)
+        try:
+            schema = _schema_from_mapping(mapping)
+        except ValueError:
+            schema = None  # conflicting paths: per-path parse below
+        if schema is not None:
+            parsed = df.withColumn("_parsed",
+                                   F.from_json(F.col(json_col), schema))
+            proj = [F.col("_parsed." + path.lstrip("$.")).try_cast(t).alias(name)
+                    for name, (path, t) in mapping.items()]
+            return parsed.select(*keep_cols, *proj)
     proj = [F.get_json_object(F.col(json_col), path).try_cast(t).alias(name)
             for name, (path, t) in mapping.items()]
     return df.select(*keep_cols, *proj)
