@@ -75,7 +75,6 @@ WAVE_EPOCH = datetime(2026, 1, 1)
 WAVE_SECONDS = 3600  # one wave = one cron cycle (cmd/vieclam24h/crawler/main.go:24)
 
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
-_SEEN_COLS = [f.name for f in SEEN_SCHEMA.fields]
 
 _STAT_KEYS = ("fetched", "missing", "missing_retryable", "deferred",
               "disallowed", "enqueued", "new", "updated", "unchanged")
