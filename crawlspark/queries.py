@@ -848,6 +848,29 @@ FROM b ORDER BY doc_id
 """
 
 
+def q_doc_tokens(spark, sf):
+    """Token counting both ways (task brief: whitespace + BPE-ish
+    regex): the linguistic count and the train-cost estimate, one
+    JVM-side pass each."""
+    docs = _t(spark, sf, "documents")
+    return (docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        X.bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"))
+        .orderBy("doc_id"))
+
+
+SQL_DOC_TOKENS = rf"""
+SELECT doc_id,
+       (CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+             ELSE len(string_split_regex(trim(lower(text)), '\s+')) END)::BIGINT
+         AS ws_tokens,
+       len(regexp_extract_all(coalesce(text, ''),
+           '{X.BPE_TOKEN_PATTERN.replace(chr(39), chr(39) * 2)}'))::BIGINT AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprint(spark, sf):
     """Rolling-hash document fingerprint (char 8-grams, min-md5)."""
     docs = _t(spark, sf, "documents")
@@ -1029,6 +1052,7 @@ QUERIES = {
     "doc_lsh_pairs": (q_doc_lsh_pairs, SQL_DOC_LSH_PAIRS),
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),

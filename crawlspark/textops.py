@@ -33,6 +33,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_expr(text))
 
 
+# GPT-2-style pre-tokenizer classes, RE2-safe (no lookahead so the
+# same pattern runs verbatim in Spark's Java regex and DuckDB's RE2):
+# contraction suffixes | space?+letters | space?+digits |
+# space?+other-runs | whitespace runs
+BPE_TOKEN_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count (task brief): the GPT-2 pre-tokenization
+    regex classes counted JVM-side with regexp_count — the cheap
+    train-data cost estimator ('how many tokens is this corpus')
+    without a vocab; whitespace token_count is the linguistic count."""
+    return F.regexp_count(F.coalesce(text, F.lit("")),
+                          F.lit(BPE_TOKEN_PATTERN))
+
+
 _VI_CHARS = ("àáảãạăằắẳẵặâầấẩẫậèéẻẽẹêềếểễệìíỉĩị"
              "òóỏõọôồốổỗộơờớởỡợùúủũụưừứửữựỳýỷỹỵđ")
 
