@@ -153,6 +153,37 @@ def crawl_run(cpus: int, pages_path: str, warm_path: str,
         spark.stop()
 
 
+def stage_scaling_probe(pages_path: str):
+    """Engine-capability scaling: the ISOLATED extraction stage (scan
+    -> Arrow -> python parse -> project) timed best-of-2 at 2 and 8
+    cores. This is the purest engine-side N->4N signal on this box —
+    no state writes, no multi-job orchestration — and it separates the
+    engine's achievable scaling from the host's crawl-time noise."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    for cpus in (8, 2):
+        spark = _spark(cpus)
+        try:
+            from crawlspark.extract import page_udf
+            px = page_udf()
+            pages = spark.read.parquet(pages_path)
+            q = lambda df: (df.withColumn("_px", px(F.col("html"), F.lit(1)))
+                            .select("_px.x.title"))
+            q(pages.limit(2000)).write.mode("overwrite").format("noop").save()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                q(pages).write.mode("overwrite").format("noop").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[f"secs_{cpus}c"] = round(best, 2)
+        finally:
+            spark.stop()
+    out["efficiency"] = round(out["secs_2c"] / out["secs_8c"] / 4, 3)
+    return out
+
+
 def state_commit_probe(rows_per_wave: int = 200_000, waves: int = 6):
     """O(delta) evidence: append a CONSTANT-size frontier delta while
     the accumulated state grows wave over wave, timing each commit +
@@ -264,6 +295,7 @@ def main():
         xec_lo = xurls / xsec_lo
         xec_hi = xurls / xsec_hi
         exec_det = xfp_lo == xfp_hi
+    stage_probe = stage_scaling_probe(pages_path)
     shutil.rmtree(tmp, ignore_errors=True)
 
     state_probe = state_commit_probe()
@@ -305,6 +337,7 @@ def main():
             "determinism_ok": fp_full == fp_hi == fp_lo,
         },
         "state_commit": state_probe,
+        "stage_scaling": stage_probe,
     }
     if xec_lo is not None:
         out["crawl"]["thr_exec_1x4"] = round(xec_lo, 2)
