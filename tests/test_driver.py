@@ -231,3 +231,35 @@ class TestDeltaState:
         base_len = len(fr_entry) if isinstance(fr_entry, list) else 1
         raw = storeB.read(spark, "frontier").count()
         assert raw == drvB.frontier_view().count()  # fully compacted base
+
+    def test_compaction_drops_expired_seen(self, spark, tmp_path):
+        """compact() physically removes TTL-expired seen rows (the
+        Redis expiry of deduplicator.go:76-84) — lazy reads already
+        hid them; after compaction the storage does too."""
+        import pandas as pd
+        from crawlspark import dedup as D
+        from pyspark.sql import functions as F
+
+        store = SnapshotStore(tmp_path / "whT")
+        drv = WaveDriver(spark, store, num_partitions=2, use_bloom=False)
+        drv.bootstrap(synth.gen_seed_list(60))
+        # seed a seen delta: one row far expired, one alive
+        from crawlspark.driver import wave_start
+        rows = pd.DataFrame({
+            "source": ["s", "s"], "id": ["dead", "alive"],
+            "url_hash": [1, 2], "last_updated_on": ["1", "2"],
+            "expires_at": [pd.Timestamp("2020-01-01"),
+                           pd.Timestamp("2100-01-01")],
+            "salt": [0, 1],
+        })
+        from crawlspark.schemas import SEEN_SCHEMA
+        delta = (spark.createDataFrame(rows)
+                 .select(*[F.col(f.name).cast(f.dataType) for f in SEEN_SCHEMA.fields])
+                 .withColumn("_wseq", F.lit(1)))
+        store.commit(1, {}, appends={"seen": delta})
+        assert drv.seen_view().count() == 2  # raw view keeps both
+        drv.compact()
+        left = {r["id"] for r in drv.seen_view().collect()}
+        assert left == {"alive"}  # expired row physically gone
+        raw = store.read(spark, "seen")
+        assert raw.filter(F.col("id") == "dead").count() == 0
