@@ -312,5 +312,10 @@ def gen_media_pandas(n: int, seed: int = 42) -> pd.DataFrame:
                       for k in range(12 + i % 9)]
             payload, mime, dur = encode_video(frames), "video/x-csv1", 1000
         rows.append((i, kind, payload, mime, w, h, dur))
-    return pd.DataFrame(rows, columns=["media_id", "kind", "payload", "mime",
-                                       "width", "height", "duration_ms"])
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "mime",
+                                      "width", "height", "duration_ms"])
+    # int+None columns upcast to float64, which createDataFrame(...,
+    # MEDIA_SCHEMA) rejects for IntegerType — force nullable Int32.
+    for col in ("width", "height", "duration_ms"):
+        pdf[col] = pd.array(pdf[col].tolist(), dtype="Int32")
+    return pdf

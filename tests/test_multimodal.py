@@ -113,3 +113,30 @@ class TestFeatures:
         fb = M.image_feature(bright)
         assert fb[0] > 0.9 and fd[0] < 0.1          # channel means
         assert fd[6] == 1.0 and fb[13] == 1.0       # histogram extremes
+
+
+class TestSparkPath:
+    """The catalog path: gen_media_pandas → createDataFrame(MEDIA_SCHEMA)
+    → extract_features. Round 2's media_features row crashed because the
+    generator emitted float64 width/height/duration_ms (int+None upcast);
+    this pins the full Spark path, not just the codecs."""
+
+    def test_gen_media_dtypes_accepted_by_schema(self, spark):
+        pdf = M.gen_media_pandas(12)
+        for col in ("width", "height", "duration_ms"):
+            assert str(pdf[col].dtype) == "Int32", col
+        df = spark.createDataFrame(pdf, schema=M.MEDIA_SCHEMA)
+        assert df.count() == 12
+
+    def test_media_features_query_runs(self, spark):
+        from crawlspark.queries import QUERIES
+        rows = QUERIES["media_features"][0](spark, None).collect()
+        assert len(rows) == 120
+        kinds = {r.kind for r in rows}
+        assert kinds == {"image", "audio", "video"}
+        for r in rows:
+            assert r.feature is not None and len(r.feature) == M.FEATURE_DIM
+        # videos sample multiple frames; images exactly one
+        by_kind = {k: [r for r in rows if r.kind == k] for k in kinds}
+        assert all(r.n_frames == 1 for r in by_kind["image"])
+        assert all(r.n_frames > 1 for r in by_kind["video"])
