@@ -291,9 +291,17 @@ class WaveDriver:
 
         # publish-then-mark, atomically: the seen DELTA commits in the
         # same snapshot as the frontier delta (O(delta), no anti-join
-        # against the stored seen set)
+        # against the stored seen set). One row per (source,id): a wave
+        # that lists the same item twice keeps the earliest FIFO
+        # discovery — the same deterministic tie-break as frontier_delta,
+        # so resolved seen values stay parallelism/resume-invariant.
+        w_seen = Window.partitionBy("source", "id").orderBy(
+            F.col("page").asc_nulls_last(), F.col("rank").asc_nulls_last(),
+            F.col("last_updated_on").asc_nulls_last(), F.col("url").asc())
         seen_new = (D.seen_delta(
-            changed.select("source", "id", "host", "last_updated_on"),
+            changed.withColumn("_rn", F.row_number().over(w_seen))
+                   .filter(F.col("_rn") == 1)
+                   .select("source", "id", "host", "last_updated_on"),
             now_ts, n_salts=self.n_salts)
             .withColumn("_wseq", F.lit(wave)))
 

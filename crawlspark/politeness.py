@@ -92,7 +92,8 @@ def schedule(frontier: DataFrame, robots: DataFrame, wave_start,
     # FIFO priority order (matches frontier.order_cols; null placement
     # mirrors the round-1 pandas sort: NaN last in every direction)
     w = (Window.partitionBy(*part_cols)
-         .orderBy(F.col("priority").desc_nulls_last(), F.col("wave").asc(),
+         .orderBy(F.col("priority").desc_nulls_last(),
+                  F.col("wave").asc_nulls_last(),
                   F.col("page").asc_nulls_last(), F.col("rank").asc_nulls_last(),
                   F.col("url").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -965,13 +965,13 @@ ORDER BY id_a, id_b
 # -- rows-only entries (genuinely non-SQL ops: pUDF / engine state) --------
 
 
-_ANN_INDEX_CACHE: dict[str, str] = {}
+_ANN_INDEX_CACHE: dict[tuple[str, int], str] = {}
 
 
 def _ann_index(spark, sf, n_planes: int = 6) -> str:
     """Build (once per sf dir) the bucket-partitioned LSH index — the
     storage-layer scale path; queries prune to their probe buckets."""
-    if sf not in _ANN_INDEX_CACHE:
+    if (sf, n_planes) not in _ANN_INDEX_CACHE:
         import hashlib
         import tempfile
 
@@ -980,8 +980,8 @@ def _ann_index(spark, sf, n_planes: int = 6) -> str:
         emb = _t(spark, sf, "embeddings")
         dim = len(emb.select("embedding").first()["embedding"])
         X.build_ann_index(emb, path, dim, n_planes=n_planes)
-        _ANN_INDEX_CACHE[sf] = path
-    return _ANN_INDEX_CACHE[sf]
+        _ANN_INDEX_CACHE[(sf, n_planes)] = path
+    return _ANN_INDEX_CACHE[(sf, n_planes)]
 
 
 def q_ann_lsh(spark, sf):

@@ -263,3 +263,47 @@ class TestDeltaState:
         assert left == {"alive"}  # expired row physically gone
         raw = store.read(spark, "seen")
         assert raw.filter(F.col("id") == "dead").count() == 0
+
+
+class TestSeenDeterminism:
+    def test_duplicate_listing_keeps_earliest_discovery(self, spark, tmp_path):
+        """A wave that lists the same (source,id) twice with conflicting
+        values resolves seen deterministically: the earliest FIFO
+        discovery (page, rank) wins — same tie-break as frontier_delta,
+        so resume/parallelism invariance holds even for dup listings."""
+        import pandas as pd
+
+        host = synth.host_name(0)
+        durl = synth.detail_url(host, "nhan-vien-x", 7)
+
+        def list_html(updated):
+            a = (f'<div class="job-item"><a class="job-link" href="{durl}" '
+                 f'data-id="7" data-updated="{updated}">X</a></div>')
+            return ("<!DOCTYPE html><html><head></head><body>"
+                    f"{a}</body></html>").encode()
+
+        # page 2 carries the LATER listing with a different value; the
+        # earliest page (1) must win regardless of partition order
+        pages = spark.createDataFrame(pd.DataFrame({
+            "url": [synth.list_url(host, 1), synth.list_url(host, 2)],
+            "warc_ts": [pd.Timestamp("2026-01-01")] * 2,
+            "html": [list_html(1111), list_html(2222)],
+            "text": ["", ""], "lang": ["vi", "vi"],
+        }), schema="url string, warc_ts timestamp, html binary, text string, lang string")
+        seeds = pd.DataFrame({
+            "url": [synth.list_url(host, 1), synth.list_url(host, 2)],
+            "host": [host, host], "page": [1, 2], "depth": [0, 0]})
+        robots = spark.createDataFrame(synth.gen_robots())
+        ranks = spark.createDataFrame(synth.gen_host_rank())
+
+        hashes = set()
+        for i in range(2):
+            drv = WaveDriver(spark, SnapshotStore(tmp_path / f"wh{i}"),
+                             num_partitions=4 if i == 0 else 1)
+            drv.bootstrap(seeds)
+            drv.run_wave(pages, robots, ranks)
+            seen = drv.seen_view().filter(F.col("id") == "7").collect()
+            assert len(seen) == 1
+            assert seen[0]["last_updated_on"] == "1111"  # page 1 wins
+            hashes.add(table_hash(drv.seen_view()))
+        assert len(hashes) == 1  # invariant across partition layouts
