@@ -165,11 +165,11 @@ def stage_scaling_probe(pages_path: str):
     for cpus in (8, 2):
         spark = _spark(cpus)
         try:
-            from crawlspark.extract import page_udf
-            px = page_udf()
+            from crawlspark.extract import extract_pages
             pages = spark.read.parquet(pages_path)
-            q = lambda df: (df.withColumn("_px", px(F.col("html"), F.lit(1)))
-                            .select("_px.x.title"))
+            q = lambda df: (extract_pages(
+                df.select("url", "html").withColumn("depth", F.lit(1)))
+                .select("x.title"))
             q(pages.limit(2000)).write.mode("overwrite").format("noop").save()
             best = None
             for _ in range(2):

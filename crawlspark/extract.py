@@ -231,45 +231,68 @@ def udfs():
     return _udfs
 
 
-_page_udf = None
-
-
-def page_udf():
-    """Combined per-page extraction: ONE pandas UDF over (html, depth)
-    returning struct(links, x, jsonld) — list pages (depth 0) run the
-    link scan, detail pages run the JSON-LD enrichment + audit-blob
-    scan. One Arrow transfer of the fat html column and one Python
-    stage per wave instead of three; html arrives as binary and is
-    decoded per batch (never cast/duplicated JVM-side)."""
-    global _page_udf
-    if _page_udf is not None:
-        return _page_udf
-
-    from pyspark.sql.functions import pandas_udf
+def _nullable_struct(st):
+    """Fully-nullable copy of a StructType (the mapInArrow output
+    carries null structs for list pages, so non-null child fields
+    can't be promised at the stage boundary)."""
     from pyspark.sql import types as T
+
+    return T.StructType([T.StructField(f.name, f.dataType, True)
+                         for f in st.fields])
+
+
+def extract_pages(df, html_col: str = "html", depth_col: str = "depth"):
+    """Combined per-page extraction as a pandas-free ``mapInArrow``
+    stage — measured 2.3x faster absolute than the pandas-UDF channel
+    on this exact stage (BENCH.md probe table: 7.8 s vs 17.8 s at 2
+    cores), because the fat binary html column and the wide struct
+    result never round-trip through pandas block managers.
+
+    Semantics: list pages (depth 0) run the
+    link scan, detail pages run the JSON-LD enrichment + audit-blob
+    scan (scraper.go:156-291, colly_extractor.go:165-203). html is
+    decoded per Arrow batch and DROPPED inside the stage; every other
+    input column is re-emitted zero-copy, so the only Python-side
+    materializations are the html bytes and the extracted values.
+
+    Returns df's columns minus html, plus (_links, x, jsonld).
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
 
     from .schemas import EXTRACTED_STRUCT, LINK_STRUCT
 
-    page_struct = T.StructType([
-        T.StructField("links", T.ArrayType(LINK_STRUCT), True),
-        T.StructField("x", EXTRACTED_STRUCT, True),
+    passthrough = [f for f in df.schema.fields if f.name != html_col]
+    names = [f.name for f in passthrough]
+    links_t = to_arrow_type(T.ArrayType(LINK_STRUCT))
+    x_t = to_arrow_type(_nullable_struct(EXTRACTED_STRUCT))
+    blobs_t = pa.list_(pa.string())
+
+    def run(batches):
+        for b in batches:
+            html = b.column(b.schema.get_field_index(html_col))
+            depth = b.column(b.schema.get_field_index(depth_col))
+            links, xs, blobs = [], [], []
+            for h, d in zip(html.to_pylist(), depth.to_pylist()):
+                s = _to_str(h)
+                if d == 0:
+                    links.append(extract_links(s))
+                    xs.append(None)
+                    blobs.append(None)
+                else:
+                    links.append(None)
+                    xs.append(extract_detail_fields(s))
+                    blobs.append(extract_jsonld_blobs(s))
+            arrays = [b.column(b.schema.get_field_index(n)) for n in names]
+            arrays += [pa.array(links, links_t), pa.array(xs, x_t),
+                       pa.array(blobs, blobs_t)]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names + ["_links", "x", "jsonld"])
+
+    out_schema = T.StructType(list(passthrough) + [
+        T.StructField("_links", T.ArrayType(LINK_STRUCT), True),
+        T.StructField("x", _nullable_struct(EXTRACTED_STRUCT), True),
         T.StructField("jsonld", T.ArrayType(T.StringType()), True),
     ])
-
-    @pandas_udf(page_struct)
-    def extract_page_udf(html: pd.Series, depth: pd.Series) -> pd.DataFrame:
-        links, xs, blobs = [], [], []
-        for h, d in zip(html, depth):
-            s = _to_str(h)
-            if d == 0:
-                links.append(extract_links(s))
-                xs.append(None)
-                blobs.append(None)
-            else:
-                links.append(None)
-                xs.append(extract_detail_fields(s))
-                blobs.append(extract_jsonld_blobs(s))
-        return pd.DataFrame({"links": links, "x": xs, "jsonld": blobs})
-
-    _page_udf = extract_page_udf
-    return _page_udf
+    return df.mapInArrow(run, schema=out_schema)

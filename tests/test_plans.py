@@ -91,6 +91,30 @@ class TestCrawlPipeline:
         assert plan.count("ArrowEvalPython") == 1
         assert "Exchange" not in plan  # narrow end to end
 
+    def test_driver_extraction_is_one_maparrow_stage(self, spark):
+        """The crawl hot path (driver.run_wave shape): broadcast join
+        into ONE pandas-free MapInArrow stage — no ArrowEvalPython
+        (pandas channel), no second Python stage, html consumed and
+        dropped inside the stage (never in an Exchange)."""
+        from crawlspark import synth
+        from crawlspark.extract import extract_pages
+
+        pages = spark.createDataFrame(synth.gen_pages_pandas(50))
+        fetch_cols = (pages.select("url")
+                      .withColumn("depth", F.lit(1))
+                      .withColumn("page", F.lit(1)))
+        df = (extract_pages(
+            pages.select("url", "html", F.col("warc_ts").alias("_warc_ts"))
+                 .join(F.broadcast(fetch_cols), "url", "inner"))
+            .select("url", "depth", "page", "x", "jsonld"))
+        plan = plan_of(df)
+        assert plan.count("MapInArrow") == 1
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "BroadcastHashJoin" in plan
+        for chunk in plan.split("Exchange")[1:]:
+            assert "html" not in chunk.splitlines()[0]
+
     def test_dedup_classify_is_one_join(self, spark):
         from crawlspark import dedup as D
         from crawlspark.schemas import SEEN_SCHEMA
