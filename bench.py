@@ -184,12 +184,18 @@ def stage_scaling_probe(pages_path: str):
     return out
 
 
-def state_commit_probe(rows_per_wave: int = 200_000, waves: int = 6):
-    """O(delta) evidence: append a CONSTANT-size frontier delta while
-    the accumulated state grows wave over wave, timing each commit +
-    resolved-view read. Under the delta scheme both stay flat (an
-    O(total)-rewrite scheme grows linearly with accumulated state).
-    Returns per-wave seconds and the last/first ratio."""
+def state_commit_probe(rows_per_wave: int = 200_000, waves: int = 20,
+                       compact_every: int = 8):
+    """O(delta) evidence, WRITE and READ side: append a CONSTANT-size
+    frontier delta while the accumulated state grows wave over wave,
+    timing (a) each commit and (b) each resolved-view read (the
+    pending-filter scan every wave starts with). Under the delta scheme
+    both stay flat: commits write O(delta) files, and the read windows
+    only the delta chain while the compacted base streams through a
+    broadcast anti join (driver._resolved) — an O(total)-exchange
+    scheme shows the read wall growing linearly with accumulated state.
+    Compaction runs on the driver cadence and is timed separately (it
+    IS O(total), amortized 1/compact_every)."""
     from pyspark.sql import functions as F
 
     from crawlspark.driver import WaveDriver
@@ -198,9 +204,15 @@ def state_commit_probe(rows_per_wave: int = 200_000, waves: int = 6):
     spark = _spark(8)
     wh = tempfile.mkdtemp(prefix="bench_state_")
     try:
+        import pandas as pd
+
         store = SnapshotStore(wh)
-        drv = WaveDriver(spark, store, compact_every=0)  # isolate raw deltas
-        times = []
+        drv = WaveDriver(spark, store, compact_every=compact_every,
+                         use_bloom=False)
+        drv.bootstrap(pd.DataFrame({"url": ["https://h.vn/seed"],
+                                    "host": ["h.vn"], "page": [0],
+                                    "depth": [0]}))
+        commit_s, read_s, compact_s = [], [], []
         for w in range(1, waves + 1):
             delta = (spark.range(w * rows_per_wave, (w + 1) * rows_per_wave)
                      .select(F.concat(F.lit("https://h.vn/j"),
@@ -218,17 +230,31 @@ def state_commit_probe(rows_per_wave: int = 200_000, waves: int = 6):
             t0 = time.time()
             store.commit(w, {}, appends={"frontier": delta},
                          output_partitions=8)
+            commit_s.append(round(time.time() - t0, 2))
+            if compact_every and w % compact_every == 0:
+                t0 = time.time()
+                drv.compact()
+                compact_s.append(round(time.time() - t0, 2))
+            t0 = time.time()
             drv.frontier_view().filter(F.col("state") == "pending") \
                .write.mode("overwrite").format("noop").save()
-            times.append(round(time.time() - t0, 2))
+            read_s.append(round(time.time() - t0, 2))
         import statistics
-        half = max(len(times) // 2, 1)
-        return {"rows_per_wave": rows_per_wave,
-                "wall_s": times,
-                # median(second half)/median(first half): robust to the
-                # host's per-run latency noise
-                "flat_ratio": round(statistics.median(times[half:])
-                                    / max(statistics.median(times[:half]), 1e-9), 2)}
+
+        def flat(ts):
+            half = max(len(ts) // 2, 1)
+            # median(second half)/median(first half): robust to the
+            # host's per-run latency noise
+            return round(statistics.median(ts[half:])
+                         / max(statistics.median(ts[:half]), 1e-9), 2)
+
+        return {"rows_per_wave": rows_per_wave, "waves": waves,
+                "compact_every": compact_every,
+                "commit_wall_s": commit_s, "read_wall_s": read_s,
+                "compact_wall_s": compact_s,
+                "flat_ratio": flat(commit_s),
+                "read_flat_ratio": flat(read_s)}
+
     finally:
         spark.stop()
         shutil.rmtree(wh, ignore_errors=True)

@@ -69,26 +69,41 @@ def classify(candidates: DataFrame, seen: DataFrame,
     missing -> NEW; stored != last_updated_on -> UPDATED; else UNCHANGED.
 
     candidates: needs (source, id, last_updated_on). Adds ``status``.
-    One left join replaces one Redis GET per job.
+
+    SHUFFLE SHAPE (the 100 TB invariant): candidates is the wave-
+    bounded side, seen is the 10^10-key state side. A plain left join
+    would hash-exchange the ENTIRE seen table every wave. Instead the
+    left join is decomposed so seen only ever STREAMS (column-pruned
+    scan, zero exchange):
+      hits = seen ⋈ broadcast(candidates)   (inner, seen streamed)
+      news = candidates ▷ broadcast(hits keys)  (anti, both sides small)
+    Seen is scanned twice (once per branch when the result
+    materializes), but two pruned columnar scans beat one full-table
+    shuffle write+read at any scale where seen >> wave.
 
     NULL semantics match the reference's Redis string compare: presence
-    is tracked by an explicit marker (a stored NULL value is still
+    is the inner-join match itself (a stored NULL value is still
     *seen*), and value comparison is null-safe — candidate NULL vs
     stored non-NULL (or vice versa) is UPDATED, NULL vs NULL is
     UNCHANGED (deduplicator.go:60-66: the Redis GET distinguishes
     key-missing from empty-value).
     """
+    out_cols = list(candidates.columns) + ["status"]
     s = (seen_live(seen, now)
-         .select("source", "id", F.col("last_updated_on").alias("_seen_val"),
-                 F.lit(True).alias("_seen")))
-    joined = candidates.join(s, ["source", "id"], "left")
-    return joined.withColumn(
-        "status",
-        F.when(F.col("_seen").isNull(), F.lit(STATUS_NEW))
-        .when(~F.col("_seen_val").eqNullSafe(F.col("last_updated_on")),
-              F.lit(STATUS_UPDATED))
-        .otherwise(F.lit(STATUS_UNCHANGED)),
-    ).drop("_seen_val", "_seen")
+         .select("source", "id", F.col("last_updated_on").alias("_seen_val")))
+    hits = (s.join(F.broadcast(candidates), ["source", "id"], "inner")
+            .withColumn(
+                "status",
+                F.when(~F.col("_seen_val").eqNullSafe(F.col("last_updated_on")),
+                       F.lit(STATUS_UPDATED))
+                .otherwise(F.lit(STATUS_UNCHANGED)))
+            .select(*out_cols))
+    news = (candidates
+            .join(F.broadcast(hits.select("source", "id")),
+                  ["source", "id"], "left_anti")
+            .withColumn("status", F.lit(STATUS_NEW))
+            .select(*out_cols))
+    return hits.unionByName(news)
 
 
 def expires_at_expr(expired_on: Column, now: Column | None = None,

@@ -131,26 +131,49 @@ class WaveDriver:
 
     # -- delta resolution (merge-on-read views) ------------------------------
     def _resolved(self, table: str, keys: list[str]) -> DataFrame | None:
-        """Last-write-wins per key over the accumulated delta appends,
-        ordered by commit sequence — the read side of the O(delta)
-        commit scheme (Iceberg MoR / Redis SET equivalence)."""
-        df = self.store.read(self.spark, table)
-        if df is None:
+        """Last-write-wins per key — the read side of the O(delta)
+        commit scheme (Iceberg MoR / Redis SET equivalence).
+
+        The base (bootstrap or last compaction) is already one row per
+        key, and every delta is too (per-wave dedup), so ONLY the delta
+        chain is window-resolved; the base streams through a broadcast
+        anti join against the resolved delta keys. The per-wave read
+        therefore exchanges O(delta-chain) rows, never O(total state) —
+        the round-2 scheme's full-table `row_number() OVER (source,id)`
+        shuffle+sort is gone. Delta waves always carry a higher `_wseq`
+        than the base they follow, so delta-wins is exact. The broadcast
+        of delta keys is bounded by compact_every waves of changes
+        (compaction folds the chain back into the base); production
+        analogue: Iceberg bucket-partitioned MoR with storage-partitioned
+        joins."""
+        base, deltas = self.store.read_split(self.spark, table)
+        if base is None:
             return None
+        if deltas is None:
+            return base
         w = Window.partitionBy(*keys).orderBy(F.col("_wseq").desc())
-        return (df.withColumn("_rn", F.row_number().over(w))
+        dres = (deltas.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
+        # membership only — distinct over the raw deltas (map-side
+        # combined) instead of re-running the window subtree under the
+        # broadcast
+        dkeys = deltas.select(*keys).distinct()
+        survivors = base.join(F.broadcast(dkeys), keys, "left_anti")
+        return dres.unionByName(survivors)
 
     def frontier_view(self) -> DataFrame | None:
         """Current frontier state: one row per url."""
         out = self._resolved("frontier", ["url"])
-        return None if out is None else out.drop("_wseq")
+        return None if out is None else out.select(*_FRONTIER_COLS)
 
     def seen_view(self) -> DataFrame | None:
         """Current seen set: one row per (source, id); TTL expiry is
-        applied lazily by consumers via dedup.seen_live."""
+        applied lazily by consumers via dedup.seen_live. Column order is
+        canonicalized (a salt-partitioned base reads salt last)."""
         out = self._resolved("seen", ["source", "id"])
-        return None if out is None else out.drop("_wseq")
+        if out is None:
+            return None
+        return out.select(*[f.name for f in SEEN_SCHEMA.fields])
 
     # -- bootstrap ----------------------------------------------------------
     def bootstrap(self, seeds: pd.DataFrame) -> int:
@@ -453,13 +476,22 @@ class WaveDriver:
         wave = self.store.latest_wave()
         now_ts = F.to_timestamp(F.lit(str(wave_start(wave))))
         fr = self._resolved("frontier", ["url"])
-        sn = D.seen_live(self._resolved("seen", ["source", "id"]), now_ts)
+        # seen base is stored bucketed by salt (directory partitioning —
+        # the plain-parquet analogue of Iceberg bucket-partitioned MoR):
+        # clustered by the same key the blooms and the hot-domain skew
+        # scheme use, one file per salt (repartition on salt, not a
+        # blind N-way split), so per-salt maintenance and salt-pruned
+        # probes read only their bucket's files.
+        sn = (D.seen_live(self._resolved("seen", ["source", "id"]), now_ts)
+              .repartition(F.col("salt")))
         tables: dict[str, DataFrame] = {"frontier": fr, "seen": sn}
         if self.use_bloom:
             tables["blooms"] = D.build_blooms(
                 sn, capacity_per_salt=self.bloom_capacity_per_salt)
         return self.store.commit(wave, tables,
-                                 output_partitions=self.snapshot_files)
+                                 partition_by={"seen": ["salt"]},
+                                 output_partitions=self.snapshot_files,
+                                 repartition_tables={"frontier", "blooms"})
 
     # -- read-side views (append tables resolve last-write-wins here,
     # the parquet-sandbox equivalent of Iceberg MERGE results) ----------

@@ -56,14 +56,10 @@ class SnapshotStore:
         return None if s is None else s["wave"]
 
     # -- read -------------------------------------------------------------
-    def read(self, spark: SparkSession, table: str,
-             snapshot_id: int | None = None) -> DataFrame | None:
-        """Read a table at a snapshot (default: latest). None if absent.
-
-        Append-mode tables resolve to the union of all their batch
-        directories (manifest entry is a list) — the parquet-sandbox
-        equivalent of an Iceberg table's data-file list.
-        """
+    def _entry(self, table: str, snapshot_id: int | None = None):
+        """(paths, base_partition_cols) for a table at a snapshot, or
+        None. paths[0] is the base (last overwrite); the rest are the
+        append deltas committed since, oldest first."""
         snaps = self.snapshots()
         if snapshot_id is not None:
             snaps = [s for s in snaps if s["sid"] == snapshot_id]
@@ -71,8 +67,51 @@ class SnapshotStore:
             if table in s["tables"]:
                 entry = s["tables"][table]
                 paths = entry if isinstance(entry, list) else [entry]
-                return spark.read.parquet(*[str(self.root / p) for p in paths])
+                part = s.get("layout", {}).get(table, [])
+                return [str(self.root / p) for p in paths], part
         return None
+
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: int | None = None) -> DataFrame | None:
+        """Read a table at a snapshot (default: latest). None if absent.
+
+        Append-mode tables resolve to the union of all their batch
+        directories (manifest entry is a list) — the parquet-sandbox
+        equivalent of an Iceberg table's data-file list. A partitioned
+        base (e.g. seen bucketed by salt) is read separately from the
+        flat deltas and unioned by name.
+        """
+        got = self._entry(table, snapshot_id)
+        if got is None:
+            return None
+        paths, part = got
+        if len(paths) == 1:
+            return spark.read.parquet(paths[0])
+        if not part:
+            return spark.read.parquet(*paths)
+        deltas = spark.read.parquet(*paths[1:])
+        return deltas.unionByName(
+            spark.read.parquet(paths[0]).select(*deltas.columns))
+
+    def read_split(self, spark: SparkSession, table: str,
+                   snapshot_id: int | None = None
+                   ) -> tuple[DataFrame | None, DataFrame | None]:
+        """(base, deltas) — the merge-on-read halves. base = the last
+        overwrite (bootstrap or compaction, already one row per key);
+        deltas = the appends since (each internally one row per key,
+        `_wseq`-ordered across waves). The driver's views window-resolve
+        ONLY the deltas and anti-join the base — the read-side exchange
+        is O(delta chain), never O(total state) (Iceberg MoR analogue;
+        the delta chain is bounded by compact_every)."""
+        got = self._entry(table, snapshot_id)
+        if got is None:
+            return None, None
+        paths, _ = got
+        base = spark.read.parquet(paths[0])
+        if len(paths) == 1:
+            return base, None
+        deltas = spark.read.parquet(*paths[1:])
+        return base.select(*deltas.columns), deltas
 
     # -- commit -----------------------------------------------------------
     def commit(self, wave: int, tables: dict[str, DataFrame],
@@ -95,6 +134,10 @@ class SnapshotStore:
         sid = (prev["sid"] + 1) if prev else 1
 
         entry_tables: dict = dict(prev["tables"]) if prev else {}
+        # base layout registry: which tables' BASE directory is written
+        # with directory partitioning (e.g. seen bucketed by salt) —
+        # readers must read such a base separately from the flat deltas
+        layout: dict = dict(prev.get("layout", {})) if prev else {}
 
         def _write(item):
             name, df = item
@@ -108,11 +151,19 @@ class SnapshotStore:
                 # repartition keeps compute wide and only shuffles the
                 # small finished rows into the output files.
                 df = df.repartition(output_partitions)
+            part_cols = (partition_by or {}).get(name, [])
             writer = df.write.mode("overwrite")
-            for col in (partition_by or {}).get(name, []):
+            for col in part_cols:
                 writer = writer.partitionBy(col)
             writer.parquet(str(self.root / rel))
-            return name, rel
+            if part_cols and not any((self.root / rel).rglob("*.parquet")):
+                # an EMPTY partitioned write leaves no schema-bearing
+                # file (partition dirs only exist per value) — rewrite
+                # flat so the dir stays readable (Iceberg keeps schema
+                # in metadata; plain parquet needs a footer)
+                df.limit(0).write.mode("overwrite").parquet(str(self.root / rel))
+                part_cols = []
+            return name, rel, part_cols
 
         # Spark accepts concurrent job submission from driver threads:
         # writing the wave's tables in parallel keeps all cores busy
@@ -123,18 +174,23 @@ class SnapshotStore:
         appends = appends or {}
         all_items = list(tables.items()) + list(appends.items())
         with ThreadPoolExecutor(max_workers=max(1, len(all_items))) as pool:
-            for name, rel in pool.map(_write, all_items):
+            for name, rel, part_cols in pool.map(_write, all_items):
                 if name in appends:
                     prev_entry = entry_tables.get(name, [])
                     prev_list = prev_entry if isinstance(prev_entry, list) else [prev_entry]
                     entry_tables[name] = prev_list + [rel]
                 else:
                     entry_tables[name] = rel
+                    if part_cols:
+                        layout[name] = part_cols
+                    else:
+                        layout.pop(name, None)
 
         manifest["snapshots"].append({
             "sid": sid,
             "wave": wave,
             "tables": entry_tables,
+            "layout": layout,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         })
         tmp = self._manifest_path.with_suffix(".json.tmp")

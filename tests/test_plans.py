@@ -115,15 +115,24 @@ class TestCrawlPipeline:
         for chunk in plan.split("Exchange")[1:]:
             assert "html" not in chunk.splitlines()[0]
 
-    def test_dedup_classify_is_one_join(self, spark):
+    def test_dedup_classify_never_exchanges_seen(self, spark, tmp_path):
+        """The 100 TB invariant: classify streams the seen side — no
+        hash-partitioning Exchange anywhere in the plan. The wave-
+        bounded candidates broadcast into an inner join (hits) and the
+        hit keys broadcast into an anti join (news)."""
         from crawlspark import dedup as D
         from crawlspark.schemas import SEEN_SCHEMA
 
-        seen = spark.createDataFrame([], SEEN_SCHEMA)
+        spark.createDataFrame(
+            [("s", "1", 1, "100", None, 0)], SEEN_SCHEMA
+        ).write.parquet(str(tmp_path / "seen"))
+        seen = spark.read.parquet(str(tmp_path / "seen"))
         cands = spark.createDataFrame(
             [("s", "1", "h", "100")], "source string, id string, host string, last_updated_on string")
-        plan = optimized_of(D.classify(cands, seen))
-        assert plan.count("Join LeftOuter") == 1
+        plan = plan_of(D.classify(cands, seen))
+        assert "Exchange hashpartitioning" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "LeftAnti" in plan and "Inner" in plan
 
 class TestPolitenessPlan:
     def test_no_python_stage_in_schedule(self, spark):
@@ -165,3 +174,59 @@ class TestAnnIndex:
              X.ann_topk_lsh_indexed(spark, path, q, k=10, n_planes=6,
                                     probe_hamming=2).collect()]
         assert a == b
+
+
+class TestStateReadPlan:
+    def test_view_never_exchanges_base(self, spark, tmp_path):
+        """Merge-on-read views: only the delta chain is window-resolved
+        (one hashpartitioning Exchange of O(delta) rows); the big
+        compacted base streams through a broadcast anti join — the
+        round-2 full-state row_number shuffle is gone."""
+        from crawlspark import synth
+        from crawlspark.driver import WaveDriver
+        from crawlspark.tables import SnapshotStore
+
+        pages = spark.createDataFrame(synth.gen_pages_pandas(120))
+        robots = spark.createDataFrame(synth.gen_robots())
+        ranks = spark.createDataFrame(synth.gen_host_rank())
+        drv = WaveDriver(spark, SnapshotStore(tmp_path / "wh"),
+                         num_partitions=4, compact_every=0)
+        drv.bootstrap(synth.gen_seed_list(120))
+        drv.run_until_done(pages, robots, ranks, 3)  # base + delta chain
+
+        for view in (drv.seen_view(), drv.frontier_view()):
+            plan = plan_of(view)
+            # exactly two delta-chain exchanges — the last-write-wins
+            # window and the anti-key distinct — and NOTHING over the
+            # base: it streams into a broadcast anti join
+            assert plan.count("Exchange hashpartitioning") == 2
+            assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+        # right after compaction the view is a bare base scan — zero
+        # exchanges, zero joins
+        drv.compact()
+        for view in (drv.seen_view(), drv.frontier_view()):
+            plan = plan_of(view)
+            assert "Exchange hashpartitioning" not in plan
+            assert "Join" not in plan
+
+    def test_seen_base_is_salt_partitioned(self, spark, tmp_path):
+        """Compaction writes the seen base bucketed by salt (directory
+        partitioning — the Iceberg bucket-partitioned MoR analogue);
+        a salt-filtered probe prunes to its bucket's files."""
+        from crawlspark import synth
+        from crawlspark.driver import WaveDriver
+        from crawlspark.tables import SnapshotStore
+
+        pages = spark.createDataFrame(synth.gen_pages_pandas(120))
+        robots = spark.createDataFrame(synth.gen_robots())
+        ranks = spark.createDataFrame(synth.gen_host_rank())
+        drv = WaveDriver(spark, SnapshotStore(tmp_path / "wh"),
+                         num_partitions=4, compact_every=1)
+        drv.bootstrap(synth.gen_seed_list(120))
+        drv.run_until_done(pages, robots, ranks, 2)
+
+        base, _ = drv.store.read_split(spark, "seen")
+        probe = base.filter(F.col("salt") == 3)
+        plan = plan_of(probe)
+        assert re.search(r"PartitionFilters: \[.*salt.*\]", plan)
