@@ -962,6 +962,42 @@ ORDER BY id_a, id_b
 """
 
 
+def _sql_ann_lsh(dim: int = 64, n_planes: int = 6,
+                 probe_hamming: int = 2, k: int = 10) -> str:
+    """DuckDB replication of the ENTIRE multi-probe LSH path: the same
+    splitmix64 hyperplanes (textops._hyperplanes — deterministic, no RNG
+    state), sign-bit bucket packing, hamming-ball probe (bit_count of
+    xor vs the query's bucket) and exact cosine on the candidates.
+    Float-exact vs Spark: both engines fold the dot products in array
+    order, so ROUND(...,6) agrees bit-for-bit. Plane constants are
+    inlined for the fixture dim (64, all sf dirs)."""
+    from .textops import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+
+    def lit_list(v):
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {lit_list(planes[p])}) >= 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM b ORDER BY vec_id LIMIT 1)
+SELECT CAST(b.vec_id AS BIGINT) AS vec_id,
+       ROUND(list_inner_product(b.v, q.qv)
+             / (sqrt(list_inner_product(b.v, b.v))
+                * sqrt(list_inner_product(q.qv, q.qv))), 6) AS cosine
+FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= {probe_hamming}
+ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
+
+
 # -- rows-only entries (genuinely non-SQL ops: pUDF / engine state) --------
 
 
@@ -985,10 +1021,12 @@ def _ann_index(spark, sf, n_planes: int = 6) -> str:
 
 
 def q_ann_lsh(spark, sf):
-    """Multi-probe LSH ANN over the PERSISTED bucket-partitioned index
-    (rows-only: approximate by design). The probe filter is a partition
-    predicate — only probe buckets' files are read (plan audit pins
-    PartitionFilters in tests/test_plans.py)."""
+    """Multi-probe LSH ANN over the PERSISTED bucket-partitioned index.
+    The probe filter is a partition predicate — only probe buckets'
+    files are read (plan audit pins PartitionFilters in
+    tests/test_plans.py). Approximate BUT deterministic (splitmix64
+    hyperplanes), so it has a full oracle: _sql_ann_lsh replicates the
+    buckets + hamming-ball probe + cosine in DuckDB."""
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     idx = _ann_index(spark, sf, n_planes=6)
@@ -1062,7 +1100,7 @@ QUERIES = {
     "job_url_construct": (q_job_url_construct, SQL_JOB_URL_CONSTRUCT),
     "emb_near_dups": (q_emb_near_dups, SQL_EMB_NEAR_DUPS),
     # rows-only (non-SQL-expressible: approximate / pUDF-only ops)
-    "ann_lsh": (q_ann_lsh, None),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "clean_to_text": (q_clean_to_text, None),
     "media_features": (q_media_features, None),
 }
