@@ -962,6 +962,48 @@ ORDER BY id_a, id_b
 """
 
 
+def q_api_dual_shape(spark, sf):
+    """S6 dual-shape API bodies (api_extractor.go:88-146): bare-array
+    bodies (even keys, two items) and {data:[...]} envelopes (odd keys,
+    one item) both explode into items and project to typed columns; the
+    oracle derives the expected item set independently of any JSON
+    parsing. Bodies synthesized deterministically from orders."""
+    from .rawproj import explode_api_items, project_api_items
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    k = F.col("o_orderkey").cast("string")
+    body = (F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit('[{"id": '), k, F.lit(', "title": "Job '), k,
+                 F.lit('"}, {"id": '),
+                 (F.col("o_orderkey") + 1000000).cast("string"),
+                 F.lit(', "title": "Alt '), k, F.lit('"}]')))
+        .otherwise(F.concat(
+            F.lit('{"data": [{"id": '), k, F.lit(', "title": "Job '), k,
+            F.lit('"}], "nbPages": 3}'))))
+    df = o.select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                  body.alias("body"))
+    items = explode_api_items(df, "body", keep=["o_orderkey"])
+    return (project_api_items(
+        items, "item_json",
+        {"id": ("$.id", "long"), "title": ("$.title", "string")},
+        keep=["o_orderkey"])
+        .orderBy("o_orderkey", "id"))
+
+
+SQL_API_DUAL_SHAPE = """
+WITH base AS (SELECT o_orderkey::BIGINT AS o_orderkey FROM orders
+              WHERE o_orderkey % 20 = 0)
+SELECT * FROM (
+  SELECT o_orderkey, o_orderkey AS id, 'Job ' || o_orderkey AS title
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, o_orderkey + 1000000 AS id, 'Alt ' || o_orderkey
+  FROM base WHERE o_orderkey % 2 = 0
+) ORDER BY o_orderkey, id
+"""
+
+
 def _sql_ann_lsh(dim: int = 64, n_planes: int = 6,
                  probe_hamming: int = 2, k: int = 10) -> str:
     """DuckDB replication of the ENTIRE multi-probe LSH path: the same
@@ -1097,6 +1139,7 @@ QUERIES = {
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),
     "api_projection": (q_api_projection, SQL_API_PROJECTION),
+    "api_dual_shape": (q_api_dual_shape, SQL_API_DUAL_SHAPE),
     "job_url_construct": (q_job_url_construct, SQL_JOB_URL_CONSTRUCT),
     "emb_near_dups": (q_emb_near_dups, SQL_EMB_NEAR_DUPS),
     # rows-only (non-SQL-expressible: approximate / pUDF-only ops)

@@ -107,3 +107,29 @@ def project_api_items(df: DataFrame, json_col: str,
     proj = [F.get_json_object(F.col(json_col), path).try_cast(t).alias(name)
             for name, (path, t) in mapping.items()]
     return df.select(*keep_cols, *proj)
+
+
+def explode_api_items(df: DataFrame, body_col: str,
+                      items_path: str = "$.data",
+                      keep: list[str] | None = None) -> DataFrame:
+    """S6 dual-shape API body tolerance (api_extractor.go:88-146): an
+    API response body parses as EITHER a bare array ``[{...}, ...]``
+    OR an envelope ``{"data": [{...}, ...], ...}`` — the reference
+    tries the array shape first, then the object's list field. Engine
+    form: one try_parse_json to VARIANT, coalesce of the two array
+    extractions, explode. Malformed bodies and bodies matching neither
+    shape yield no rows (S8 malformed-skip semantics) instead of
+    failing the job.
+
+    Returns keep-columns + (item variant, item_json string, item_id
+    string) — item_json feeds project_api_items for the typed pull.
+    """
+    v = F.try_parse_json(F.col(body_col))
+    items = F.coalesce(
+        F.try_variant_get(v, "$", "array<variant>"),
+        F.try_variant_get(v, items_path, "array<variant>"))
+    keep_cols = [F.col(c) for c in (keep or [])]
+    return (df.select(*keep_cols, F.explode(items).alias("item"))
+            .withColumn("item_json", F.to_json("item"))
+            .withColumn("item_id",
+                        F.try_variant_get("item", "$.id", "string")))

@@ -67,3 +67,38 @@ class TestProjection:
     def test_vieclam24h_mapping_shape(self, spark):
         sch = _schema_from_mapping(VIECLAM24H_API_MAPPING)
         assert "employer_info" in sch.fieldNames()
+
+
+class TestDualShapeBodies:
+    """S6 (api_extractor.go:88-146): bare-array vs {data:[...]} bodies."""
+
+    BODIES = [
+        ('[{"id": 1, "title": "A"}, {"id": 2, "title": "B"}]',),
+        ('{"data": [{"id": 3, "title": "C"}], "nbPages": 7}',),
+        ('{"meta": "no data key"}',),
+        ('not json at all',),
+    ]
+
+    def test_both_shapes_yield_items(self, spark):
+        from crawlspark.rawproj import explode_api_items
+
+        df = spark.createDataFrame(self.BODIES, "body string")
+        out = explode_api_items(df, "body").collect()
+        assert sorted(r.item_id for r in out) == ["1", "2", "3"]
+
+    def test_malformed_and_shapeless_skip(self, spark):
+        from crawlspark.rawproj import explode_api_items
+
+        df = spark.createDataFrame(self.BODIES[2:], "body string")
+        assert explode_api_items(df, "body").count() == 0
+
+    def test_items_feed_projection(self, spark):
+        from crawlspark.rawproj import explode_api_items, project_api_items
+
+        df = spark.createDataFrame(self.BODIES, "body string")
+        items = explode_api_items(df, "body")
+        proj = project_api_items(
+            items, "item_json",
+            {"id": ("$.id", "long"), "title": ("$.title", "string")})
+        rows = {r.id: r.title for r in proj.collect()}
+        assert rows == {1: "A", 2: "B", 3: "C"}
