@@ -37,6 +37,48 @@ def get_string(*cols: Column) -> Column:
     return F.coalesce(*[nonempty(c) for c in cols], F.lit(""))
 
 
+def _variant_str(e: Column, obj_key: str) -> Column:
+    """A tolerant array element's string value: a scalar STRING element
+    is itself (non-string scalars drop, as in the reference's type
+    switches); an object element contributes its ``obj_key`` field.
+    Gated on schema_of_variant because variant->string would otherwise
+    stringify objects to their JSON text."""
+    return F.coalesce(
+        F.try_variant_get(e, "$." + obj_key, "string"),
+        F.when(F.schema_of_variant(e) == "STRING",
+               F.try_variant_get(e, "$", "string")))
+
+
+def tolerant_join(col: Column, sep: str = "; ",
+                  obj_key: str = "description") -> Column:
+    """N14 shape tolerance (normalizer.go:606-627 parseBenefits,
+    :545-563 parseLocations): a staged raw value may be a plain string,
+    a JSON array of strings, or a JSON array of objects — the reference
+    switches on the decoded Go type. Engine form: one try_parse_json to
+    VARIANT; if the value parses as an array, join its string elements
+    (picking ``obj_key`` from object elements) with ``sep``; anything
+    else — plain strings included — passes through verbatim."""
+    arr = F.try_variant_get(F.try_parse_json(col), "$", "array<variant>")
+    elems = F.transform(arr, lambda e: _variant_str(e, obj_key))
+    joined = F.array_join(
+        F.filter(elems, lambda x: x.isNotNull() & (x != "")), sep)
+    return F.when(arr.isNotNull(), joined).otherwise(col)
+
+
+def tolerant_array(col: Column, obj_key: str = "cityNameVi") -> Column:
+    """N14 string-or-array pull to array<string> (normalizer.go:583-603
+    parseLocationsArray, :545-563 parseLocations' city objects): a JSON
+    array value yields its string elements (or ``obj_key`` of object
+    elements, empties dropped); a plain non-empty string yields a
+    one-element array; empty/null yields null."""
+    arr = F.try_variant_get(F.try_parse_json(col), "$", "array<variant>")
+    elems = F.filter(
+        F.transform(arr, lambda e: _variant_str(e, obj_key)),
+        lambda x: x.isNotNull() & (x != ""))
+    return (F.when(arr.isNotNull(), elems)
+            .when(nonempty(col).isNotNull(), F.array(nonempty(col))))
+
+
 def get_int(*cols: Column) -> Column:
     """N3: lenient int from the first parseable candidate, else 0.
     try_cast: an unparseable string is 'try the next key', never an
@@ -470,8 +512,7 @@ def normalize_generic(df: DataFrame) -> DataFrame:
         unescape_udf(get_string(F.col("company"))).alias("company"),
         F.lit("").alias("company_website"),
         unescape_udf(get_string(F.col("location"))).alias("location"),
-        F.when(nonempty(F.col("city")).isNotNull(),
-               F.array(nonempty(F.col("city")))).alias("location_city"),
+        tolerant_array(F.col("city")).alias("location_city"),
         F.lit(None).cast("array<string>").alias("location_district"),
         get_string(F.col("position")).alias("position"),
         get_string(F.col("salary")).alias("salary"),
@@ -490,7 +531,7 @@ def normalize_generic(df: DataFrame) -> DataFrame:
         F.lit("").alias("employment_type"),
         unescape_udf(get_string(F.col("description"))).alias("description"),
         unescape_udf(get_string(F.col("requirements"))).alias("requirements"),
-        unescape_udf(get_string(F.col("benefits"))).alias("benefits"),
+        unescape_udf(get_string(tolerant_join(F.col("benefits")))).alias("benefits"),
         F.lit(0).alias("total_views"),
         F.lit(0).alias("total_resume_applied"),
         F.lit(0.0).alias("rate_response"),

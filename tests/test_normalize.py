@@ -195,3 +195,73 @@ class TestEndToEndNormalize:
         # unescape applied: no raw entities left in description
         assert ~pdf["description"].str.contains("&amp;").any()
         assert pdf["description"].str.contains("&").any()
+
+
+class TestShapeTolerance:
+    """N14 (normalizer.go:545-650): staged raw values may be plain
+    strings, JSON arrays of strings, or JSON arrays of objects — the
+    reference switches on the decoded type; the engine switches on
+    try_parse_json's VARIANT shape."""
+
+    def test_tolerant_join_branches(self, spark):
+        from crawlspark.normalize import tolerant_join
+
+        df = spark.createDataFrame(
+            [("plain", "great pay"),                              # string -> verbatim
+             ("arr_str", '["bonus", "insurance"]'),               # []string -> join
+             ("arr_obj", '[{"description": "lunch"}, {"description": "gym"}]'),
+             ("arr_mixed", '["a", {"description": "b"}, {"x": 1}]'),
+             ("arr_empty", "[]"),
+             ("null", None)],
+            "k string, v string")
+        out = {r.k: r.b for r in
+               df.select("k", tolerant_join(F.col("v")).alias("b")).collect()}
+        assert out["plain"] == "great pay"
+        assert out["arr_str"] == "bonus; insurance"
+        assert out["arr_obj"] == "lunch; gym"        # parseBenefits obj case
+        assert out["arr_mixed"] == "a; b"            # non-string non-obj dropped
+        assert out["arr_empty"] == ""
+        assert out["null"] is None
+
+    def test_tolerant_array_branches(self, spark):
+        from crawlspark.normalize import tolerant_array
+
+        df = spark.createDataFrame(
+            [("plain", "Hà Nội"),
+             ("arr", '["Hà Nội", "Đà Nẵng"]'),       # parseLocationsArray
+             ("objs", '[{"cityNameVi": "Huế"}, {"cityNameVi": ""}]'),
+             ("empty", ""), ("null", None)],
+            "k string, v string")
+        out = {r.k: r.c for r in
+               df.select("k", tolerant_array(F.col("v")).alias("c")).collect()}
+        assert out["plain"] == ["Hà Nội"]
+        assert out["arr"] == ["Hà Nội", "Đà Nẵng"]
+        assert out["objs"] == ["Huế"]                # empty city dropped
+        assert out["empty"] is None and out["null"] is None
+
+    def test_generic_path_accepts_both_shapes(self, spark):
+        """A source whose benefits is sometimes a string and sometimes
+        an array now normalizes through the generic path (the round-2
+        verdict's N14 gap: 'the generic path can't ingest' this)."""
+        from crawlspark.normalize import normalize_generic
+
+        base = {c: None for c in
+                ["title", "company", "location", "city", "position",
+                 "salary", "work_type", "industry", "field", "experience",
+                 "description", "requirements", "benefits"]}
+        rows = [
+            dict(base, id="1", source="s", url="u1",
+                 benefits="thưởng tháng 13", city="Hà Nội"),
+            dict(base, id="2", source="s", url="u2",
+                 benefits='["bảo hiểm", "du lịch"]',
+                 city='["Hà Nội", "Hải Phòng"]'),
+        ]
+        import pandas as pd
+        pdf = pd.DataFrame(rows)
+        pdf["crawled_at"] = pd.Timestamp("2026-01-01")
+        out = {r.id: r for r in
+               normalize_generic(spark.createDataFrame(pdf)).collect()}
+        assert out["1"].benefits == "thưởng tháng 13"
+        assert out["1"].location_city == ["Hà Nội"]
+        assert out["2"].benefits == "bảo hiểm; du lịch"
+        assert out["2"].location_city == ["Hà Nội", "Hải Phòng"]
