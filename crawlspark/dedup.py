@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_SALTS = 16
 
@@ -358,6 +359,11 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     """
     sh = simhash_udf()
     base = df.select(F.col(key_col).alias("k"), sh(F.col(text_col)).alias("sh"))
+    return _banded_pairs(base, bands, max_hamming)
+
+
+def _banded_pairs(base: DataFrame, bands: int, max_hamming: int) -> DataFrame:
+    """Banded self-join over a (k, sh) frame -> (key_a, key_b, hamming)."""
     band_width = 64 // bands
     mask = (1 << band_width) - 1
     bands_df = base.select(
@@ -381,3 +387,37 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     return (pairs.withColumn("hamming", hamming)
                  .filter(F.col("hamming") <= max_hamming)
                  .select("key_a", "key_b", "hamming"))
+
+
+def simhash_dup_classes(df: DataFrame, text_col: str = "text",
+                        key_col: str = "url", bands: int = 4,
+                        max_hamming: int = 3
+                        ) -> tuple[DataFrame, DataFrame]:
+    """D5 under EXTREME duplication — the hot-bucket form.
+
+    simhash_near_dups emits every qualifying pair, which is inherently
+    O(g^2) OUTPUT for a group of g byte-identical docs (10k identical
+    docs = 50M pairs x 4 bands): no join strategy can bound it, the
+    semantics are quadratic. The scale form collapses exact-simhash
+    groups to one representative BEFORE banding, so band buckets hold
+    DISTINCT hashes only — the mass-duplication hot bucket disappears
+    upstream of the pair join, and the banded join's input is bounded
+    by the number of distinct simhashes (residual near-identical skew
+    is handled by AQE skew-join splitting).
+
+    Returns (classes, rep_pairs):
+      classes: (key, rep, group_size) — every doc assigned to its
+        exact-dup class (rep = min key of the class);
+      rep_pairs: (key_a, key_b, hamming) — near-dup pairs BETWEEN
+        class representatives, verified on the full 64-bit hash.
+    """
+    sh = simhash_udf()
+    base = (df.select(F.col(key_col).alias("key"),
+                      sh(F.col(text_col)).alias("sh")))
+    w = Window.partitionBy("sh")
+    classes = (base.withColumn("rep", F.min("key").over(w))
+               .withColumn("group_size", F.count("*").over(w)))
+    reps = (classes.filter(F.col("key") == F.col("rep"))
+            .select(F.col("key").alias("k"), "sh"))
+    rep_pairs = _banded_pairs(reps, bands, max_hamming)
+    return classes.select("key", "rep", "group_size"), rep_pairs

@@ -940,6 +940,31 @@ ORDER BY d.doc_id
 """
 
 
+def q_doc_dup_classes(spark, sf):
+    """D5 hot-bucket form (dedup.simhash_dup_classes): exact-simhash
+    groups collapse to a representative BEFORE the banded pair join, so
+    mass duplication never creates a hot band bucket. Catalog surface =
+    the class map (key, rep, group_size); the rep-pair banding is
+    pinned by tests/test_dedup.py. Oracle replays the md5 bit-vote
+    simhash in SQL and derives the same classes by window."""
+    docs = _t(spark, sf, "documents")
+    classes, _ = D.simhash_dup_classes(docs, text_col="text",
+                                       key_col="doc_id")
+    return (classes.select(F.col("key").cast("long").alias("key"),
+                           F.col("rep").cast("long").alias("rep"),
+                           F.col("group_size").cast("long").alias("group_size"))
+            .orderBy("key"))
+
+
+SQL_DOC_DUP_CLASSES = f"""
+WITH sh AS ({SQL_DOC_SIMHASH})
+SELECT doc_id::BIGINT AS key,
+       (min(doc_id) OVER (PARTITION BY simhash))::BIGINT AS rep,
+       (count(*) OVER (PARTITION BY simhash))::BIGINT AS group_size
+FROM sh ORDER BY key
+"""
+
+
 def q_emb_near_dups(spark, sf):
     """Embedding-cosine near-dup pairs, exact baseline on a modulo
     subset (the LSH-bucketed variant is the scale path —
@@ -1135,6 +1160,7 @@ QUERIES = {
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
+    "doc_dup_classes": (q_doc_dup_classes, SQL_DOC_DUP_CLASSES),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

@@ -223,3 +223,54 @@ class TestBloomDistribution:
                  .withColumn("salt", F.lit(7)))  # bucket with no bloom
         probed = D.bloom_might_contain(cands, blooms)
         assert probed.filter("might_contain").count() == 0
+
+
+class TestSimhashHotBuckets:
+    def test_mass_duplication_completes_with_bounded_buckets(self, spark):
+        """10k byte-identical docs: the pair form is inherently O(g^2)
+        output; the class form collapses the exact-simhash group to one
+        representative BEFORE banding, so the banded join sees DISTINCT
+        hashes only and finishes instantly with a full class map."""
+        from crawlspark.dedup import simhash_dup_classes
+
+        base = ("mot hai ba bon nam sau bay tam chin muoi "
+                "con meo nhay qua hang rao ") * 3
+        dup = spark.range(10_000).select(
+            F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 6, "0")
+                     ).alias("url"),
+            F.lit(base).alias("text"))
+        distinct = spark.createDataFrame(
+            [("zz1", base + " qq"),   # hamming 2 from the group (near-dup)
+             ("zz2", "hoan toan khac van ban nay day")],
+            "url string, text string")
+        classes, rep_pairs = simhash_dup_classes(
+            dup.unionByName(distinct), bands=4, max_hamming=3)
+
+        cl = classes.groupBy("rep").agg(
+            F.count("*").alias("n"), F.max("group_size").alias("gs")).collect()
+        by_rep = {r.rep: (r.n, r.gs) for r in cl}
+        assert by_rep["u000000"] == (10_000, 10_000)  # one exact class
+        assert by_rep["zz1"] == (1, 1) and by_rep["zz2"] == (1, 1)
+
+        # the banded join ran over 3 representatives, not 10k rows:
+        # near-dup pairs only BETWEEN class reps
+        pairs = {(r.key_a, r.key_b): r.hamming for r in rep_pairs.collect()}
+        assert ("u000000", "zz1") in pairs and len(pairs) == 1
+        assert pairs[("u000000", "zz1")] <= 3
+
+    def test_classes_agree_with_pairwise_form_on_small_input(self, spark):
+        """On duplication-free input the class form is the identity map
+        and rep_pairs matches simhash_near_dups exactly."""
+        from crawlspark.dedup import simhash_dup_classes, simhash_near_dups
+
+        docs = spark.createDataFrame(
+            [("a", "xin chao viet nam"), ("b", "xin chao viet nam nhe"),
+             ("c", "noi dung hoan toan khac biet")],
+            "url string, text string")
+        classes, rep_pairs = simhash_dup_classes(docs)
+        assert {(r.key, r.rep, r.group_size) for r in classes.collect()} == \
+            {("a", "a", 1), ("b", "b", 1), ("c", "c", 1)}
+        exp = {(r.key_a, r.key_b, r.hamming)
+               for r in simhash_near_dups(docs).collect()}
+        got = {(r.key_a, r.key_b, r.hamming) for r in rep_pairs.collect()}
+        assert got == exp
