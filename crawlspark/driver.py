@@ -276,9 +276,12 @@ class WaveDriver:
         # P8 retry: missing urls return to the pending pool with
         # attempts+1 (state left 'scheduled' would orphan them forever;
         # the pending filter caps at max_retries).
+        # persisted: consumed by the frontier delta AND two counter
+        # branches — one column-pruned pages.url scan instead of three
         missing = (to_fetch.join(pages.select("url"), "url", "left_anti")
                    .withColumn("attempts", F.col("attempts") + 1)
-                   .withColumn("state", F.lit("pending")))
+                   .withColumn("state", F.lit("pending"))
+                   .persist())
 
         # ---- list pages -> frontier candidates (S5 + D1/D2) --------------
         links = (processed.filter(F.col("depth") == 0)
@@ -461,6 +464,7 @@ class WaveDriver:
         sched.unpersist()
         processed.unpersist()
         classified.unpersist()
+        missing.unpersist()
         if self.compact_every and wave % self.compact_every == 0:
             self.compact()
         stats["wall_ms"] = int((time.time() - t0) * 1000)
