@@ -43,12 +43,14 @@ Scale notes:
   by url hash (storage-layer config); plan shape is identical.
 - html stays BINARY end-to-end and is dropped inside the same stage
   that extracts from it; nothing html-bearing is ever persisted.
-- exactly TWO driver-side actions per wave: a narrow count that fills
-  the extraction cache (serializing the pUDF so concurrent counter
-  stages cannot duplicate it), then ONE unioned counter aggregate
-  returning every wave stat; loop control is exact arithmetic over
-  those stats, never a frontier re-read (the round-1 serial floor of
-  ~11 separate .count() actions is gone).
+- exactly TWO driver-side actions per wave: narrow counts that fill
+  the extraction and classify caches (serializing the Python stage so
+  concurrent commit writes cannot duplicate it). Every wave stat rides
+  Observation metrics attached to frames those jobs and the commit
+  writes materialize anyway — no dedicated counter job (the round-1
+  serial floor of ~11 .count() actions, then round-2's one 9-branch
+  union job, are both gone); loop control is exact arithmetic over
+  the stats, never a frontier re-read.
 """
 
 from __future__ import annotations
@@ -58,7 +60,7 @@ import time
 from datetime import datetime, timedelta
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -78,6 +80,26 @@ _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
 _STAT_KEYS = ("fetched", "missing", "missing_retryable", "deferred",
               "disallowed", "enqueued", "new", "updated", "unchanged")
+
+
+def _obs_get(obs: Observation, names: list[str], fallback: DataFrame,
+             exprs: list) -> dict:
+    """Observation metrics with a deterministic fallback.
+
+    Metrics ride CollectMetrics accumulators on jobs the wave runs
+    anyway (zero dedicated counter jobs). Two PySpark 4.1.2 edge cases
+    are handled: Observation.get's toPyRow asserts on the schemaless
+    row produced when the observed node first executes inside a
+    broadcast-build job (read getAsJava instead), and a query that hits
+    the persisted cache ABOVE the metrics node can complete first with
+    no metrics at all (empty map) — then recompute the same aggregates
+    directly on the cached frame (tiny: one job over cached
+    partitions, rare in practice)."""
+    m = dict(obs._jo.getAsJava())
+    if all(n in m for n in names):
+        return {n: int(m[n]) for n in names}
+    row = fallback.agg(*exprs).first()
+    return {n: int(row[n]) for n in names}
 
 
 def wave_start(wave: int) -> datetime:
@@ -247,10 +269,17 @@ class WaveDriver:
                    .drop("_hr")
                    .select(*_FRONTIER_COLS))
 
-        # Persist shared lineage; ALL caches fill as by-products of the
-        # single counter action below (concurrent snapshot writes do not
-        # coordinate on an unmaterialized cache).
-        sched = politeness.schedule(pending, robots, ws).persist()
+        # Persist shared lineage. Wave stats ride Observation metrics
+        # (CollectMetrics accumulators) attached to frames the wave's
+        # own jobs materialize anyway — no dedicated counter job.
+        obs_sched = Observation()
+        sched_metrics = [
+            F.count(F.when(F.col("state") == "deferred", 1)).alias("deferred"),
+            F.count(F.when(F.col("state") == "disallowed", 1))
+            .alias("disallowed")]
+        sched = (politeness.schedule(pending, robots, ws)
+                 .observe(obs_sched, *sched_metrics)
+                 .persist())
         to_fetch = sched.filter(F.col("state") == "scheduled").drop("slot", "scheduled_ts")
         deferred = sched.filter(F.col("state") == "deferred")  # stays pending: no delta row
         disallowed = (sched.filter(F.col("state") == "disallowed")
@@ -276,11 +305,17 @@ class WaveDriver:
         # P8 retry: missing urls return to the pending pool with
         # attempts+1 (state left 'scheduled' would orphan them forever;
         # the pending filter caps at max_retries).
-        # persisted: consumed by the frontier delta AND two counter
-        # branches — one column-pruned pages.url scan instead of three
+        # persisted: consumed by the frontier delta and observed for the
+        # retry stats — one column-pruned pages.url scan, zero extra jobs
+        obs_missing = Observation()
+        missing_metrics = [
+            F.count(F.lit(1)).alias("missing"),
+            F.count(F.when(F.col("attempts") < self.max_retries, 1))
+            .alias("missing_retryable")]
         missing = (to_fetch.join(pages.select("url"), "url", "left_anti")
                    .withColumn("attempts", F.col("attempts") + 1)
                    .withColumn("state", F.lit("pending"))
+                   .observe(obs_missing, *missing_metrics)
                    .persist())
 
         # ---- list pages -> frontier candidates (S5 + D1/D2) --------------
@@ -304,7 +339,14 @@ class WaveDriver:
                 n_salts=self.n_salts).drop("url_hash", "salt")
         else:
             classified = D.classify(links, seen, now_ts)
-        classified = classified.persist()
+        obs_cls = Observation()
+        cls_metrics = [
+            F.count(F.when(F.col("status") == D.STATUS_NEW, 1)).alias("new"),
+            F.count(F.when(F.col("status") == D.STATUS_UPDATED, 1))
+            .alias("updated"),
+            F.count(F.when(F.col("status") == D.STATUS_UNCHANGED, 1))
+            .alias("unchanged")]
+        classified = classified.observe(obs_cls, *cls_metrics).persist()
 
         changed = classified.filter(F.col("status") != D.STATUS_UNCHANGED)
         enqueue = (changed.drop("status")
@@ -389,26 +431,14 @@ class WaveDriver:
                        .select("wave", "partition_id", "urls_fetched", "dedup_hits",
                                "new", "updated", "unchanged", "wall_ms", "committed_at"))
 
-        # ---- the SINGLE driver-side action --------------------------------
-        # One unioned counter aggregate materializes sched/processed/
-        # classified caches AND returns every wave stat — the driver-
-        # side serial fraction is one job, not ~11. Loop control needs
-        # no frontier re-read: the scheduler partitions EVERY pending
-        # row into scheduled/deferred/disallowed, so work remains after
-        # this wave iff something was enqueued, deferred, or returned
-        # retryable-missing (exact, zero extra shuffle).
-        branches = {
-            "fetched": processed,
-            "missing": missing,
-            "missing_retryable": missing.filter(
-                F.col("attempts") < self.max_retries),
-            "deferred": deferred,
-            "disallowed": disallowed,
-            "enqueued": enqueue,
-            "new": classified.filter(F.col("status") == D.STATUS_NEW),
-            "updated": classified.filter(F.col("status") == D.STATUS_UPDATED),
-            "unchanged": classified.filter(F.col("status") == D.STATUS_UNCHANGED),
-        }
+        # ---- driver-side actions (two, both doing real work) --------------
+        # Wave stats are Observation metrics riding jobs the wave runs
+        # anyway — the round-2 dedicated 9-branch counter job (pure
+        # task-scheduling overhead, ~5 s/crawl measured) is gone. Loop
+        # control stays exact arithmetic: the scheduler partitions EVERY
+        # pending row into scheduled/deferred/disallowed, so work
+        # remains after this wave iff something was enqueued, deferred,
+        # or returned retryable-missing.
         _trace = os.environ.get("CRAWLSPARK_TRACE") == "1"
         _t = time.time()
 
@@ -418,19 +448,19 @@ class WaveDriver:
                 print(f"[wave {wave}] {label} {time.time() - _t:.2f}s", flush=True)
             _t = time.time()
 
-        # Fill the extraction cache FIRST (one narrow job): the counter
-        # job's branches otherwise race as concurrent stages and can
-        # each recompute uncached pUDF partitions. Two driver actions
-        # per wave total.
-        processed.count()
+        # Action 1: fill the extraction cache (one narrow job — the
+        # commit's concurrent writes must not race on the uncached
+        # Python stage). Also materializes sched -> obs_sched fills.
+        fetched = processed.count()
         _tick("extract")
-        counters = None
-        for k, df in branches.items():
-            b = df.select(F.lit(k).alias("k"))
-            counters = b if counters is None else counters.unionAll(b)
-        counted = {r["k"]: r["n"] for r in
-                   counters.groupBy("k").agg(F.count("*").alias("n")).collect()}
-        _tick("counter")
+        # Action 2: fill the classify cache -> obs_cls fills (the bloom
+        # decision below needs the enqueued count pre-commit).
+        classified.count()
+        cls = _obs_get(obs_cls, ["new", "updated", "unchanged"],
+                       classified, cls_metrics)
+        counted = {"fetched": fetched, **cls,
+                   "enqueued": cls["new"] + cls["updated"]}
+        _tick("classify")
 
         # incremental bloom maintenance: delta bloom at fixed capacity,
         # OR-merged into the stored table — O(delta + n_salts); skipped
@@ -442,13 +472,6 @@ class WaveDriver:
             blooms_out = (D.merge_blooms(blooms_prev, delta_blooms)
                           if blooms_prev is not None else delta_blooms)
             _tick("blooms")
-        stats = {"wave": wave, **{k: int(counted.get(k, 0)) for k in _STAT_KEYS}}
-        # exact pending-work indicator (see counter comment): deferred
-        # rows stay pending, enqueues become pending, retryable missing
-        # re-pend; every other pending row transitioned this wave
-        stats["work_remains"] = (stats["enqueued"] + stats["deferred"]
-                                 + stats["missing_retryable"]) > 0
-
         tables = {"blooms": blooms_out} if blooms_out is not None else {}
         self.store.commit(
             wave,
@@ -461,6 +484,19 @@ class WaveDriver:
             # tables write with natural partitioning
             repartition_tables={"jobs", "extracted"})
         _tick("commit")
+        # sched/missing observations filled during action 1 / the
+        # frontier-delta write respectively — read after commit
+        counted.update(_obs_get(obs_sched, ["deferred", "disallowed"],
+                                sched, sched_metrics))
+        counted.update(_obs_get(obs_missing,
+                                ["missing", "missing_retryable"],
+                                missing, missing_metrics))
+        stats = {"wave": wave, **{k: int(counted.get(k, 0)) for k in _STAT_KEYS}}
+        # exact pending-work indicator: deferred rows stay pending,
+        # enqueues become pending, retryable missing re-pend; every
+        # other pending row transitioned this wave
+        stats["work_remains"] = (stats["enqueued"] + stats["deferred"]
+                                 + stats["missing_retryable"]) > 0
         sched.unpersist()
         processed.unpersist()
         classified.unpersist()
@@ -480,6 +516,13 @@ class WaveDriver:
         wave = self.store.latest_wave()
         now_ts = F.to_timestamp(F.lit(str(wave_start(wave))))
         fr = self._resolved("frontier", ["url"])
+        if self.snapshot_files:
+            # cluster the base by state within files: parquet row-group
+            # min/max stats then let the every-wave pending filter SKIP
+            # the (dominant, ever-growing) fetched row groups instead of
+            # scanning the whole frontier
+            fr = (fr.repartition(self.snapshot_files)
+                  .sortWithinPartitions("state"))
         # seen base is stored bucketed by salt (directory partitioning —
         # the plain-parquet analogue of Iceberg bucket-partitioned MoR):
         # clustered by the same key the blooms and the hot-domain skew
@@ -495,7 +538,7 @@ class WaveDriver:
         return self.store.commit(wave, tables,
                                  partition_by={"seen": ["salt"]},
                                  output_partitions=self.snapshot_files,
-                                 repartition_tables={"frontier", "blooms"})
+                                 repartition_tables={"blooms"})
 
     # -- read-side views (append tables resolve last-write-wins here,
     # the parquet-sandbox equivalent of Iceberg MERGE results) ----------
