@@ -762,6 +762,43 @@ FROM sh GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_ngram_jaccard(spark, sf):
+    """Exact word-bigram Jaccard near-dup pairs over the inverted-index
+    candidate join (textops.ngram_jaccard_all_pairs — pairs share >=1
+    shingle, never cartesian). Oracle replicates shingling, the
+    inverted-index self-join and the |A∩B|/|A∪B| arithmetic in SQL."""
+    docs = _t(spark, sf, "documents")
+    return (X.ngram_jaccard_all_pairs(docs, shingle_n=2, threshold=0.3)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"), "jaccard")
+            .orderBy("id_a", "id_b"))
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) != ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS s
+  FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i)
+  WHERE i <= len(t) - 1
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+FROM pairs
+JOIN counts na ON id_a = na.doc_id
+JOIN counts nb ON id_b = nb.doc_id
+WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
 def q_doc_lsh_pairs(spark, sf):
     """MinHash+LSH near-dup pairs (8 perm, 4 bands, jaccard >= 0.5),
     oracle replicates the identical banding scheme in SQL."""
@@ -1155,6 +1192,7 @@ QUERIES = {
     "doc_exact_dedup": (q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
     "doc_minhash": (q_doc_minhash, SQL_DOC_MINHASH),
     "doc_lsh_pairs": (q_doc_lsh_pairs, SQL_DOC_LSH_PAIRS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),
