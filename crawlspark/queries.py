@@ -1124,6 +1124,29 @@ def _ann_index(spark, sf, n_planes: int = 6) -> str:
     return _ANN_INDEX_CACHE[(sf, n_planes)]
 
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf(spark, sf):
+    """IVF-Flat ANN over the PERSISTED centroid-partitioned index
+    (rows-only: the k-means quantizer is trained, not SQL-replicable;
+    exactness contracts are pinned in tests/test_textops.py — a full
+    probe equals brute force, narrow probes prune partitions). Driver
+    ranks the tiny centroid table; executors read only nprobe cells."""
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    if sf not in _IVF_INDEX_CACHE:
+        import hashlib
+        import tempfile
+
+        path = (f"{tempfile.gettempdir()}/crawlspark_ivfidx_"
+                f"{hashlib.md5(sf.encode()).hexdigest()[:10]}")
+        X.build_ivf_index(emb, path, n_centroids=16, max_iter=10)
+        _IVF_INDEX_CACHE[sf] = path
+    return (X.ann_topk_ivf(spark, _IVF_INDEX_CACHE[sf], q, k=10, nprobe=4)
+            .select(F.col("vec_id").cast("long").alias("vec_id"), "cosine"))
+
+
 def q_ann_lsh(spark, sf):
     """Multi-probe LSH ANN over the PERSISTED bucket-partitioned index.
     The probe filter is a partition predicate — only probe buckets'
@@ -1208,6 +1231,7 @@ QUERIES = {
     "emb_near_dups": (q_emb_near_dups, SQL_EMB_NEAR_DUPS),
     # rows-only (non-SQL-expressible: approximate / pUDF-only ops)
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, None),
     "clean_to_text": (q_clean_to_text, None),
     "media_features": (q_media_features, None),
 }

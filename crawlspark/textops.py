@@ -395,3 +395,58 @@ def ann_topk_lsh_indexed(spark, path: str, query: list[float], k: int = 10,
     probes = probe_buckets(query, n_planes, probe_hamming, seed)
     cand = spark.read.parquet(path).filter(F.col("_bucket").isin(probes))
     return brute_force_topk(cand, query, k, vec_col, key_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-quantizer scale path
+# ---------------------------------------------------------------------------
+def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 64,
+                    vec_col: str = "embedding", key_col: str = "vec_id",
+                    seed: int = 42, max_iter: int = 20) -> None:
+    """Materialize an IVF index: a k-means coarse quantizer (Spark ML,
+    fixed seed) assigns every vector to its nearest centroid and the
+    vectors are written PARTITIONED BY centroid id; the centroid table
+    (tiny: n_centroids rows) sits beside it. A query then reads only
+    its nprobe nearest centroids' directories (Catalyst partition
+    pruning — the same storage-layer contract as the LSH index). At
+    10^9 vectors / 4096 centroids an nprobe=64 probe touches ~1.6% of
+    storage.
+
+    Complements the hyperplane-LSH index: IVF adapts its cells to the
+    data distribution (clustered corpora), LSH needs no training and
+    is fully deterministic; both share the probe-then-exact-rerank
+    shape of the reference ANN literature (IVF-Flat)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fitted = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
+                    featuresCol="_v").fit(
+        df.select(vec_col).withColumn("_v", array_to_vector(vec_col)))
+    assigned = (fitted.transform(
+        df.withColumn("_v", array_to_vector(vec_col)))
+        .withColumnRenamed("prediction", "_centroid").drop("_v"))
+    assigned.write.mode("overwrite").partitionBy("_centroid").parquet(path)
+    centers = [(int(i), [float(x) for x in c])
+               for i, c in enumerate(fitted.clusterCenters())]
+    spark = df.sparkSession
+    (spark.createDataFrame(centers, "centroid_id int, center array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path + "_centroids"))
+
+
+def ann_topk_ivf(spark, path: str, query: list[float], k: int = 10,
+                 nprobe: int = 4, vec_col: str = "embedding",
+                 key_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k against a build_ivf_index directory: rank
+    centroids by distance to the query DRIVER-side (n_centroids rows —
+    never a Spark job over the corpus), read only the nprobe nearest
+    cells via the partition-column predicate, exact-cosine rerank.
+    nprobe = n_centroids degrades gracefully to exact brute force."""
+    import numpy as np
+
+    centers = spark.read.parquet(path + "_centroids").collect()
+    q = np.asarray(query, dtype=np.float64)
+    ranked = sorted(centers,
+                    key=lambda r: float(np.linalg.norm(np.asarray(r["center"]) - q)))
+    probes = [int(r["centroid_id"]) for r in ranked[:nprobe]]
+    cand = spark.read.parquet(path).filter(F.col("_centroid").isin(probes))
+    return brute_force_topk(cand, query, k, vec_col, key_col)

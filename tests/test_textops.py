@@ -207,3 +207,30 @@ class TestEmbeddingNearDups:
         assert set(lsh) <= set(exact)
         assert all(exact[k] == v for k, v in lsh.items())
         assert len(exact) > 0
+
+
+class TestIVF:
+    def test_full_probe_equals_brute_force_and_pruning(self, spark, tmp_path):
+        from crawlspark import textops as X
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+        path = str(tmp_path / "ivf")
+        X.build_ivf_index(emb, path, n_centroids=8, max_iter=10)
+
+        # nprobe = n_centroids degrades to exact brute force
+        exact = {(r.vec_id, r.cosine)
+                 for r in X.brute_force_topk(emb, q, k=10).collect()}
+        full = {(r.vec_id, r.cosine)
+                for r in X.ann_topk_ivf(spark, path, q, k=10, nprobe=8).collect()}
+        assert full == exact
+
+        # a narrow probe reads ONLY its cells (partition pruning) and
+        # still finds the query's own vector plus mostly-right results
+        import re
+        df = X.ann_topk_ivf(spark, path, q, k=10, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[.*_centroid.*\]", plan)
+        got = {r.vec_id for r in df.collect()}
+        assert len(got & {v for v, _ in exact}) >= 5  # recall@10 >= 0.5
+        assert emb.orderBy("vec_id").first()["vec_id"] in got
