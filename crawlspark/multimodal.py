@@ -18,8 +18,11 @@ self-contained stdlib+numpy implementations of real formats:
   averages frame features (the mapInPandas shape a pyav-backed
   decoder would keep identical).
 
-Anything else (jpeg/mp3/...) raises NotImplementedError at the same
-seam — swapping PIL/torchaudio/pyav in is a per-mime dispatch entry,
+- **JPEG (baseline sequential)** — real encoder+decoder in jpegc.py
+  (DCT, canonical Huffman, spec-valid JFIF; 4:4:4 and grayscale).
+
+Anything else (mp3, progressive/subsampled jpeg, ...) raises
+NotImplementedError at the same seam — swapping PIL/torchaudio/pyav in is a per-mime dispatch entry,
 not a pipeline change. Partitioning spreads fat payloads before the
 Python stage; nothing payload-bearing survives past featurization.
 """
@@ -244,6 +247,10 @@ def decode_and_featurize(payload: bytes, kind: str, mime: str,
     if kind == "image":
         if mime == "image/png":
             return image_feature(decode_png(payload)), 1
+        if mime == "image/jpeg":
+            from .jpegc import decode_jpeg
+
+            return image_feature(decode_jpeg(payload)), 1
         if mime == "image/x-portable-pixmap":
             return image_feature(decode_ppm(payload)), 1
     elif kind == "audio":
@@ -297,7 +304,13 @@ def gen_media_pandas(n: int, seed: int = 42) -> pd.DataFrame:
                            rng.integers(0, 256, (h, w), dtype=np.uint8),
                            np.full((h, w), (i * 37) % 256, dtype=np.uint8)],
                           axis=-1)
-            payload, mime, dur = encode_png(px), "image/png", None
+            if i % 2 == 0:
+                payload, mime = encode_png(px), "image/png"
+            else:
+                from .jpegc import encode_jpeg
+
+                payload, mime = encode_jpeg(px), "image/jpeg"
+            dur = None
         elif kind == "audio":
             rate = 16000
             t = np.arange(rate // 4)

@@ -140,3 +140,68 @@ class TestSparkPath:
         by_kind = {k: [r for r in rows if r.kind == k] for k in kinds}
         assert all(r.n_frames == 1 for r in by_kind["image"])
         assert all(r.n_frames > 1 for r in by_kind["video"])
+
+
+class TestJpeg:
+    def _img(self, h=24, w=40):
+        gx = np.linspace(0, 255, w)
+        gy = np.linspace(0, 255, h).reshape(-1, 1)
+        return np.stack([np.tile(gx, (h, 1)), np.tile(gy, (1, w)),
+                         np.full((h, w), 128.0)], axis=-1).astype(np.uint8)
+
+    def test_rgb_roundtrip_close(self):
+        from crawlspark.jpegc import decode_jpeg, encode_jpeg
+
+        img = self._img()
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.abs(dec.astype(float) - img.astype(float)).mean() < 4.0
+
+    def test_gray_roundtrip_close(self):
+        from crawlspark.jpegc import decode_jpeg, encode_jpeg
+
+        g = self._img()[..., 0]
+        dec = decode_jpeg(encode_jpeg(g))
+        assert dec.shape == g.shape
+        assert np.abs(dec.astype(float) - g.astype(float)).mean() < 2.0
+
+    def test_odd_dims_pad_and_crop(self):
+        from crawlspark.jpegc import decode_jpeg, encode_jpeg
+
+        img = self._img(h=13, w=19)
+        assert decode_jpeg(encode_jpeg(img)).shape == (13, 19, 3)
+
+    def test_marker_structure_is_spec_valid(self):
+        from crawlspark.jpegc import encode_jpeg
+
+        data = encode_jpeg(self._img())
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        # walk segments up to SOS without desync
+        import struct
+        pos, seen = 2, []
+        while data[pos + 1] != 0xDA:
+            assert data[pos] == 0xFF
+            seen.append(data[pos + 1])
+            (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            pos += 2 + ln
+        assert 0xC0 in seen and 0xDB in seen and 0xC4 in seen
+
+    def test_unsupported_features_raise(self):
+        from crawlspark.jpegc import decode_jpeg, encode_jpeg
+
+        data = bytearray(encode_jpeg(self._img()))
+        i = data.index(b"\xff\xc0")
+        data[i + 1] = 0xC2  # pretend progressive
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
+
+    def test_dispatch_and_feature_parity_with_png(self):
+        """A JPEG of the same image featurizes ~like its PNG (lossy
+        but the 14-dim stats stay close) through the real seam."""
+        img = self._img()
+        fp, _ = M.decode_and_featurize(M.encode_png(img), "image", "image/png")
+        from crawlspark.jpegc import encode_jpeg
+
+        fj, n = M.decode_and_featurize(encode_jpeg(img), "image", "image/jpeg")
+        assert n == 1
+        assert max(abs(a - b) for a, b in zip(fp[:6], fj[:6])) < 0.05
