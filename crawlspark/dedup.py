@@ -290,19 +290,33 @@ def bloom_might_contain(candidates: DataFrame, blooms: DataFrame,
 
 def classify_with_bloom(candidates: DataFrame, seen: DataFrame,
                         blooms: DataFrame, now: Column | None = None,
-                        n_salts: int = N_SALTS) -> DataFrame:
+                        n_salts: int = N_SALTS,
+                        cache: bool = False) -> DataFrame:
     """D1 with the bloom pre-filter: bloom misses short-circuit to NEW
-    without joining; only possible hits shuffle into the seen join.
+    without joining; only possible hits stream into the seen join.
     n_salts MUST match the salt modulus the seen/bloom tables were
-    built with (threaded from the driver, not defaulted silently)."""
+    built with (threaded from the driver, not defaulted silently).
+
+    cache=True persists the bloom-probed candidate frame: the probed
+    subtree (cogroup Python stage + salt shuffle) is consumed by the
+    misses branch AND twice inside classify's decomposition, and a
+    broadcast build cannot be reused as a streamed input — without the
+    cache it would re-run up to three times. The persisted handle is
+    attached to the result as ``_bloom_cand`` for the caller to
+    unpersist once the result is materialized (the wave driver does)."""
     cand = candidates.withColumn(
         "url_hash", url_hash(F.col("source"), F.col("id"))
     ).withColumn("salt", salt_of(F.col("host"), n_salts))
     cand = bloom_might_contain(cand, blooms)
+    if cache:
+        cand = cand.persist()
     misses = (cand.filter(~F.col("might_contain"))
                   .withColumn("status", F.lit(STATUS_NEW)))
     hits = classify(cand.filter(F.col("might_contain")), seen, now)
-    return misses.unionByName(hits).drop("might_contain")
+    out = misses.unionByName(hits).drop("might_contain")
+    if cache:
+        out._bloom_cand = cand
+    return out
 
 
 # ---------------------------------------------------------------------------

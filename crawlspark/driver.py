@@ -281,7 +281,7 @@ class WaveDriver:
                  .observe(obs_sched, *sched_metrics)
                  .persist())
         to_fetch = sched.filter(F.col("state") == "scheduled").drop("slot", "scheduled_ts")
-        deferred = sched.filter(F.col("state") == "deferred")  # stays pending: no delta row
+        # deferred rows stay pending: no delta row, counted via obs_sched
         disallowed = (sched.filter(F.col("state") == "disallowed")
                       .drop("slot", "scheduled_ts"))
 
@@ -333,10 +333,13 @@ class WaveDriver:
 
         seen = self.seen_view() or spark.createDataFrame([], SEEN_SCHEMA)
         blooms_prev = self.store.read(spark, "blooms") if self.use_bloom else None
+        bloom_cand = None
         if blooms_prev is not None:
-            classified = D.classify_with_bloom(
+            raw_cls = D.classify_with_bloom(
                 links, seen, blooms_prev, now_ts,
-                n_salts=self.n_salts).drop("url_hash", "salt")
+                n_salts=self.n_salts, cache=True)
+            bloom_cand = raw_cls._bloom_cand  # probed frame: cogroup
+            classified = raw_cls.drop("url_hash", "salt")
         else:
             classified = D.classify(links, seen, now_ts)
         obs_cls = Observation()
@@ -501,6 +504,8 @@ class WaveDriver:
         processed.unpersist()
         classified.unpersist()
         missing.unpersist()
+        if bloom_cand is not None:
+            bloom_cand.unpersist()
         if self.compact_every and wave % self.compact_every == 0:
             self.compact()
         stats["wall_ms"] = int((time.time() - t0) * 1000)

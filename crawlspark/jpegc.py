@@ -253,6 +253,13 @@ def _extend(bits: int, size: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF -> HxW (gray) or HxWx3 (RGB) uint8."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated/corrupt JPEG: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -300,7 +307,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals")
+            (interval,) = struct.unpack(">H", body[:2])
+            if interval:
+                raise NotImplementedError("restart intervals")
+            # DRI=0 disables restarts — spec-valid, nothing to do
         elif marker == 0xDA:
             ns = body[0]
             scan = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)

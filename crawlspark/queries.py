@@ -1029,10 +1029,12 @@ def q_api_dual_shape(spark, sf):
     bodies (even keys, two items) and {data:[...]} envelopes (odd keys,
     one item) both explode into items and project to typed columns; the
     oracle derives the expected item set independently of any JSON
-    parsing. Bodies synthesized deterministically from orders."""
+    parsing. Bodies synthesized deterministically from orders (% 7
+    keeps a near-even parity mix, so BOTH branches generate — % 20
+    made every key even and left the envelope branch dead)."""
     from .rawproj import explode_api_items, project_api_items
 
-    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 7 == 0)
     k = F.col("o_orderkey").cast("string")
     body = (F.when(
         F.col("o_orderkey") % 2 == 0,
@@ -1055,7 +1057,7 @@ def q_api_dual_shape(spark, sf):
 
 SQL_API_DUAL_SHAPE = """
 WITH base AS (SELECT o_orderkey::BIGINT AS o_orderkey FROM orders
-              WHERE o_orderkey % 20 = 0)
+              WHERE o_orderkey % 7 = 0)
 SELECT * FROM (
   SELECT o_orderkey, o_orderkey AS id, 'Job ' || o_orderkey AS title
   FROM base

@@ -400,6 +400,14 @@ def ann_topk_lsh_indexed(spark, path: str, query: list[float], k: int = 10,
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the k-means-quantizer scale path
 # ---------------------------------------------------------------------------
+def _l2_normalize(vec: Column) -> Column:
+    """x / ||x||2 as a Column expr (zero vectors pass through)."""
+    v = vec.cast("array<double>")
+    n = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x))
+    return F.transform(v, lambda x: x / F.when(n > 0, n).otherwise(F.lit(1.0)))
+
+
 def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 64,
                     vec_col: str = "embedding", key_col: str = "vec_id",
                     seed: int = 42, max_iter: int = 20) -> None:
@@ -419,11 +427,17 @@ def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 64,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # cluster/assign on L2-NORMALIZED vectors: the final ranking is
+    # cosine, and Euclidean Voronoi cells over raw magnitudes would
+    # systematically miss cosine-near vectors of different norms
+    # (v = 100q lands in a far L2 cell). On the unit sphere,
+    # ||a-b||^2 = 2 - 2cos(a,b) — L2 cells ARE cosine cells.
+    unit = _l2_normalize(F.col(vec_col))
     fitted = KMeans(k=n_centroids, seed=seed, maxIter=max_iter,
                     featuresCol="_v").fit(
-        df.select(vec_col).withColumn("_v", array_to_vector(vec_col)))
+        df.select(unit.alias("_u")).withColumn("_v", array_to_vector("_u")))
     assigned = (fitted.transform(
-        df.withColumn("_v", array_to_vector(vec_col)))
+        df.withColumn("_v", array_to_vector(unit)))
         .withColumnRenamed("prediction", "_centroid").drop("_v"))
     assigned.write.mode("overwrite").partitionBy("_centroid").parquet(path)
     centers = [(int(i), [float(x) for x in c])
@@ -445,6 +459,7 @@ def ann_topk_ivf(spark, path: str, query: list[float], k: int = 10,
 
     centers = spark.read.parquet(path + "_centroids").collect()
     q = np.asarray(query, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)  # centroids live on the unit sphere
     ranked = sorted(centers,
                     key=lambda r: float(np.linalg.norm(np.asarray(r["center"]) - q)))
     probes = [int(r["centroid_id"]) for r in ranked[:nprobe]]

@@ -164,6 +164,8 @@ class TestMultimodal:
         from crawlspark import multimodal as M
 
         with pytest.raises(NotImplementedError):
+            M.decode_and_featurize(b"ID3\x04", "audio", "audio/mp3")
+        with pytest.raises(ValueError):
             M.decode_and_featurize(b"\xff\xd8\xff", "image", "image/jpeg")
 
 
