@@ -211,18 +211,32 @@ def ngram_jaccard(left: DataFrame, right: DataFrame, text_col: str,
 def ngram_jaccard_all_pairs(df: DataFrame, text_col: str = "text",
                             key_col: str = "doc_id", shingle_n: int = 2,
                             threshold: float = 0.5) -> DataFrame:
-    """Jaccard over pairs sharing >=1 shingle (inverted-index join —
-    never cartesian). For bounded corpora / oracle checks; at scale use
-    minhash_lsh_pairs which bounds candidates by banding."""
+    """Exact Jaccard >= threshold pairs, COUNT-based: |A∩B| comes
+    straight off the inverted-index self-join as a map-side-combined
+    ``groupBy(pair).count()`` (shingles are distinct per doc), then two
+    tiny per-doc-size joins give |A∪B| = n_a + n_b - inter. No shingle
+    ARRAYS ever join or shuffle — the round-3 profile showed the
+    array_intersect verify dominating (54 s at sf0.1; this form: ~7 s),
+    and a ppjoin prefix filter measured SLOWER here because its
+    df-ranking windows cost more than the candidates they prune.
+
+    The join's intrinsic output is Σ_s df(s)² rows — exact all-pairs
+    Jaccard is inherently quadratic in hot shingles; at web scale use
+    minhash_lsh_pairs, which bounds candidates by banding."""
     sh = df.select(F.col(key_col),
                    F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
+    counts = sh.groupBy(key_col).agg(F.count("*").alias("_n"))
     a, b = sh.alias("a"), sh.alias("b")
-    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
                     & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")))
              .select(F.col(f"a.{key_col}").alias("id_a"),
                      F.col(f"b.{key_col}").alias("id_b"))
-             .distinct())
-    return (ngram_jaccard(df, df, text_col, key_col, shingle_n, pairs)
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("_i")))
+    na = counts.select(F.col(key_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = counts.select(F.col(key_col).alias("id_b"), F.col("_n").alias("_nb"))
+    jac = F.round(F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")), 4)
+    return (inter.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 

@@ -236,3 +236,26 @@ class TestIVF:
         got = {r.vec_id for r in df.collect()}
         assert len(got & {v for v, _ in exact}) >= 5  # recall@10 >= 0.5
         assert emb.orderBy("vec_id").first()["vec_id"] in got
+
+
+class TestJaccardForms:
+    def test_count_form_equals_array_verify(self, spark):
+        """The count-based all-pairs form must equal the array-verify
+        path (ngram_jaccard over the same candidates) exactly."""
+        from crawlspark import textops as X
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {(r.id_a, r.id_b, r.jaccard) for r in
+               X.ngram_jaccard_all_pairs(docs, threshold=0.3).collect()}
+        sh = docs.select("doc_id",
+                         F.explode(X.word_shingles(F.col("text"), 2)).alias("s"))
+        a, b = sh.alias("a"), sh.alias("b")
+        cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("id_a"),
+                        F.col("b.doc_id").alias("id_b")).distinct())
+        exp = {(r.id_a, r.id_b, r.jaccard) for r in
+               X.ngram_jaccard(docs, docs, "text", "doc_id", 2, cand)
+               .filter(F.col("jaccard") >= 0.3).collect()}
+        assert got == exp and len(got) > 0
