@@ -58,15 +58,29 @@ def cmd_crawl(args) -> int:
         if args.seeds:
             seeds = pd.read_parquet(args.seeds)
         else:
-            # depth-0 list pages straight from the corpus
-            lists = (pages.withColumn("host", F.expr(
-                "parse_url(url, 'HOST')"))
-                .filter(~F.col("url").rlike(r"/viec-lam-[a-z0-9-]+-\d+\.html$"))
-                .select("url", "host").distinct())
+            # depth-0 list pages straight from the corpus: pages whose
+            # url matches the LIST grammar (synth.list_url — the
+            # closed-world fixture shape), with the real page number so
+            # the (wave, page, rank) FIFO contract holds. Other corpora
+            # must pass an explicit --seeds (url, host, page, depth).
+            lists = (pages.withColumn("host", F.expr("parse_url(url, 'HOST')"))
+                     .filter(F.col("url").rlike(
+                         r"/viec-lam(-trang-\d+)?-vi\.html$"))
+                     .withColumn("page", F.coalesce(
+                         F.regexp_extract("url", r"-trang-(\d+)-vi",
+                                          1).try_cast("int"), F.lit(1)))
+                     .select("url", "host", "page").distinct())
             seeds = lists.toPandas()
-            seeds["page"] = 0
+            if seeds.empty:
+                raise SystemExit(
+                    "no list pages matched the fixture URL grammar; "
+                    "pass --seeds (parquet: url, host, page, depth)")
             seeds["depth"] = 0
         drv.bootstrap(seeds)
+    elif args.seeds:
+        # resuming warehouse + explicit seeds = a new crawl cycle:
+        # enqueue unseen seed urls via the P6 reseed path
+        drv.reseed(pd.read_parquet(args.seeds))
     stats = drv.run_until_done(pages, robots, ranks,
                                max_waves=args.max_waves)
     for s in stats:
@@ -117,13 +131,9 @@ def cmd_status(args) -> int:
 
 
 def cmd_package(args) -> int:
-    import zipfile
-    from pathlib import Path
+    from crawlspark.session import build_package_zip
 
-    pkg = Path(__file__).resolve().parent
-    with zipfile.ZipFile(args.out, "w") as z:
-        for py in sorted(pkg.glob("*.py")):
-            z.write(py, f"crawlspark/{py.name}")
+    build_package_zip(args.out)
     print(json.dumps({"zip": args.out}))
     return 0
 

@@ -1146,11 +1146,17 @@ def q_ann_ivf(spark, sf):
         import os
         import tempfile
 
-        path = (f"{tempfile.gettempdir()}/crawlspark_ivfidx_"
-                f"{hashlib.md5(sf.encode()).hexdigest()[:10]}")
-        # deterministic inputs (fixed sf dir + seed): a previously
-        # built index is byte-reusable — skips the k-means fit, the
-        # dominant cost of a fresh-process catalog run
+        # cache key covers the DATA (source file stat) and every build
+        # parameter — a stale /tmp index from older fixtures or a
+        # param change must miss, not silently answer (the _SUCCESS
+        # guard below only protects against partial builds: the
+        # centroids dir is written last)
+        src_file = f"{sf.rstrip('/')}/embeddings.parquet"
+        st = os.stat(src_file)
+        key = hashlib.md5(
+            f"{src_file}|{st.st_size}|{st.st_mtime_ns}|k16|it5|seed42"
+            .encode()).hexdigest()[:12]
+        path = f"{tempfile.gettempdir()}/crawlspark_ivfidx_{key}"
         if not os.path.exists(os.path.join(path + "_centroids", "_SUCCESS")):
             X.build_ivf_index(emb, path, n_centroids=16, max_iter=5)
         _IVF_INDEX_CACHE[sf] = path

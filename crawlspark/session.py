@@ -19,6 +19,17 @@ from pathlib import Path
 from pyspark.sql import SparkSession
 
 
+def build_package_zip(out: str | Path) -> Path:
+    """Zip the package for --py-files (one implementation shared by
+    ship_package and the CLI's `package` subcommand)."""
+    pkg_dir = Path(__file__).resolve().parent
+    out = Path(out)
+    with zipfile.ZipFile(out, "w") as z:
+        for py in sorted(pkg_dir.glob("*.py")):
+            z.write(py, f"crawlspark/{py.name}")
+    return out
+
+
 def ship_package(spark: SparkSession) -> None:
     """Ship crawlspark to executors (programmatic spark-submit --py-files).
 
@@ -28,12 +39,9 @@ def ship_package(spark: SparkSession) -> None:
     real cluster this is `spark-submit --py-files crawlspark.zip`; this
     helper is the same mechanism via SparkContext.addPyFile.
     """
-    pkg_dir = Path(__file__).resolve().parent
     zpath = Path(tempfile.gettempdir()) / f"crawlspark-{os.getpid()}.zip"
     if not zpath.exists():
-        with zipfile.ZipFile(zpath, "w") as z:
-            for py in sorted(pkg_dir.glob("*.py")):
-                z.write(py, f"crawlspark/{py.name}")
+        build_package_zip(zpath)
     spark.sparkContext.addPyFile(str(zpath))
 
 
@@ -43,10 +51,22 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("CRAWLSPARK_MASTER", "local[*]")
+    # master precedence: an explicit arg / CRAWLSPARK_MASTER wins;
+    # otherwise DEFER to an externally provided spark.master (the
+    # spark-submit --master flag surfaces through SparkConf) — calling
+    # builder.master() unconditionally would clobber the cluster flag
+    # and silently run local[*] on the driver host. Only when no
+    # master exists anywhere do we default to local[*].
+    from pyspark import SparkConf
+
+    master = master or os.environ.get("CRAWLSPARK_MASTER")
+    if master is None and not SparkConf().contains("spark.master"):
+        master = "local[*]"
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

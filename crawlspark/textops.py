@@ -225,7 +225,11 @@ def ngram_jaccard_all_pairs(df: DataFrame, text_col: str = "text",
     minhash_lsh_pairs, which bounds candidates by banding."""
     sh = df.select(F.col(key_col),
                    F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
-    counts = sh.groupBy(key_col).agg(F.count("*").alias("_n"))
+    # |A| straight off the shingle array — no second explode + shuffle
+    counts = (df.select(F.col(key_col),
+                        F.size(word_shingles(F.col(text_col), shingle_n))
+                        .alias("_n"))
+              .filter(F.col("_n") > 0))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
                     & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")))

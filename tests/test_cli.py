@@ -49,8 +49,13 @@ class TestCli:
         r2 = _run(base + ["crawl", "--pages", pages, "--warehouse", wh,
                           "--max-waves", "10"])
         assert r2.returncode == 0, r2.stderr[-2000:]
-        done = json.loads(r2.stdout.splitlines()[-1])
-        assert done["total_fetched"] > 0  # continued, not restarted
+        lines2 = [json.loads(l) for l in r2.stdout.splitlines()
+                  if l.startswith("{")]
+        done = lines2[-1]
+        assert done["total_fetched"] > 0
+        # continued, not restarted: the first wave of run 2 picks up
+        # AFTER run 1's single committed wave
+        assert lines2[0]["wave"] == 2
 
         r3 = _run(base + ["status", "--warehouse", wh])
         st = json.loads(r3.stdout.splitlines()[-1])
