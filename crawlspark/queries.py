@@ -130,6 +130,48 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_sessionize(spark, sf):
+    """Gap-based sessionization over the events stream table (the
+    batch view of the streaming session-window op): a >30-min gap per
+    user starts a new session; output = per-session event count, span
+    and value sum. Pure window arithmetic — lag + cumulative sum of
+    gap markers — identical in both engines."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microseconds on both engines: unix_timestamp/epoch would
+    # truncate/keep sub-second fractions differently at boundaries
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (us - F.lag(us).over(wu)) > 1800 * 1_000_000
+    sess = (e.withColumn("_new", F.coalesce(gap, F.lit(True)).cast("long"))
+            .withColumn("session_no", F.sum("_new").over(
+                wu.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 (F.max(us) - F.min(us)).alias("span_us"))
+            .orderBy("user_id", "session_no"))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no::BIGINT AS session_no,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS span_us
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
 def q_top_users(spark, sf):
     """Window-function ranking: top-20 users by event count."""
     from pyspark.sql.window import Window
@@ -1216,6 +1258,7 @@ QUERIES = {
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "top_users": (q_top_users, SQL_TOP_USERS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "dedup_three_way": (q_dedup_three_way, SQL_DEDUP_THREE_WAY),
     "seen_ttl": (q_seen_ttl, SQL_SEEN_TTL),
     "frontier_order": (q_frontier_order, SQL_FRONTIER_ORDER),
