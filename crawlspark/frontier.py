@@ -81,3 +81,36 @@ def crawl_sequence(frontier: DataFrame) -> DataFrame:
 
     w = Window.orderBy(*order_cols())
     return frontier.withColumn("seq", F.row_number().over(w))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form for frontier/seen keying (the crawl-dedup
+    companion to E3's canonical-link extraction; kept to the transforms
+    that are safe for ANY http(s) URL):
+
+    - scheme and host lowercased
+    - default ports stripped (:80 http, :443 https)
+    - fragment dropped
+    - query parameters sorted (byte order), empty params dropped,
+      empty query removed
+    - empty path -> '/'
+
+    Pure Column expressions (one regexp parse + array ops, no UDF);
+    non-http(s) inputs pass through unchanged.
+    """
+    pat = r"^(?i)(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+    scheme = F.lower(F.regexp_extract(url, pat, 1))
+    host_raw = F.lower(F.regexp_extract(url, pat, 2))
+    strip80 = (scheme == "http") & host_raw.endswith(":80")
+    strip443 = (scheme == "https") & host_raw.endswith(":443")
+    host = (F.when(strip80, F.substring(host_raw, 1, F.length(host_raw) - 3))
+            .when(strip443, F.substring(host_raw, 1, F.length(host_raw) - 4))
+            .otherwise(host_raw))
+    path = F.regexp_extract(url, pat, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(url, pat, 4)
+    params = F.array_sort(F.filter(F.split(q, "&"), lambda x: x != ""))
+    qs = F.array_join(params, "&")
+    out = F.concat(scheme, F.lit("://"), host, path,
+                   F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+    return F.when(scheme == "", url).otherwise(out)

@@ -1070,6 +1070,65 @@ ORDER BY id_a, id_b
 """
 
 
+def q_url_canonical(spark, sf):
+    """Frontier URL canonicalization (frontier.canonicalize_url): the
+    crawl-dedup companion to E3 — scheme/host lowercase, default ports
+    stripped, fragment dropped, query params sorted. Noisy variants
+    synthesized deterministically from orders; the oracle replicates
+    the same regexp parse + list ops in DuckDB."""
+    from .frontier import canonicalize_url
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    k = F.col("o_orderkey").cast("string")
+    url = F.concat(
+        F.lit("HTTP://Viec"), (F.col("o_orderkey") % 40).cast("string"),
+        F.lit(".Example.VN"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/viec-lam-"), k, F.lit(".html"),
+        F.when(F.col("o_orderkey") % 2 == 0,
+               F.concat(F.lit("?utm=x&b="), k, F.lit("&a=1"))).otherwise(F.lit("")),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    return (o.select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                     url.alias("url"))
+            .withColumn("canonical", canonicalize_url(F.col("url")))
+            .orderBy("o_orderkey"))
+
+
+SQL_URL_CANONICAL = r"""
+WITH u AS (
+  SELECT o_orderkey::BIGINT AS o_orderkey,
+         'HTTP://Viec' || (o_orderkey % 40) || '.Example.VN'
+         || (CASE WHEN o_orderkey % 3 = 0 THEN ':80' ELSE '' END)
+         || '/viec-lam-' || o_orderkey || '.html'
+         || (CASE WHEN o_orderkey % 2 = 0
+                  THEN '?utm=x&b=' || o_orderkey || '&a=1' ELSE '' END)
+         || (CASE WHEN o_orderkey % 5 = 0 THEN '#sec' ELSE '' END) AS url
+  FROM orders WHERE o_orderkey % 4 = 0
+), p AS (
+  SELECT o_orderkey, url,
+         lower(regexp_extract(url, '^(?i)(https?)://([^/?#]+)([^?#]*)(\?([^#]*))?(#.*)?$', 1)) AS scheme,
+         lower(regexp_extract(url, '^(?i)(https?)://([^/?#]+)([^?#]*)(\?([^#]*))?(#.*)?$', 2)) AS host0,
+         regexp_extract(url, '^(?i)(https?)://([^/?#]+)([^?#]*)(\?([^#]*))?(#.*)?$', 3) AS path0,
+         regexp_extract(url, '^(?i)(https?)://([^/?#]+)([^?#]*)(\?([^#]*))?(#.*)?$', 5) AS q
+  FROM u
+)
+SELECT o_orderkey, url,
+       scheme || '://'
+       || (CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+                THEN substr(host0, 1, length(host0) - 3)
+                WHEN scheme = 'https' AND host0 LIKE '%:443'
+                THEN substr(host0, 1, length(host0) - 4)
+                ELSE host0 END)
+       || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+       || (CASE WHEN array_to_string(list_sort(list_filter(
+                     string_split(q, '&'), x -> x != '')), '&') = '' THEN ''
+                ELSE '?' || array_to_string(list_sort(list_filter(
+                     string_split(q, '&'), x -> x != '')), '&') END)
+       AS canonical
+FROM p ORDER BY o_orderkey
+"""
+
+
 def q_api_dual_shape(spark, sf):
     """S6 dual-shape API bodies (api_extractor.go:88-146): bare-array
     bodies (even keys, two items) and {data:[...]} envelopes (odd keys,
@@ -1287,6 +1346,7 @@ QUERIES = {
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),
     "api_projection": (q_api_projection, SQL_API_PROJECTION),
     "api_dual_shape": (q_api_dual_shape, SQL_API_DUAL_SHAPE),
+    "url_canonical": (q_url_canonical, SQL_URL_CANONICAL),
     "job_url_construct": (q_job_url_construct, SQL_JOB_URL_CONSTRUCT),
     "emb_near_dups": (q_emb_near_dups, SQL_EMB_NEAR_DUPS),
     # rows-only (non-SQL-expressible: approximate / pUDF-only ops)

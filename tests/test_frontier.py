@@ -88,3 +88,30 @@ def test_starvation_guard(spark, tmp_path):
     drv.bootstrap(synth.gen_seed_list(100))
     stats = drv.run_until_done(pages, robots, ranks, max_waves=10)
     assert len(stats) <= 2
+
+
+class TestCanonicalizeUrl:
+    def test_transforms(self, spark):
+        from crawlspark.frontier import canonicalize_url
+
+        cases = {
+            "HTTP://Viec.VN:80/j?b=2&a=1#f": "http://viec.vn/j?a=1&b=2",
+            "https://X.vn:443": "https://x.vn/",
+            "https://x.vn:8443/p?z=1": "https://x.vn:8443/p?z=1",  # non-default port kept
+            "https://x.vn/p?": "https://x.vn/p",                   # empty query dropped
+            "https://x.vn/p?a=1&&b=2": "https://x.vn/p?a=1&b=2",   # empty params dropped
+            "ftp://other/x": "ftp://other/x",                      # non-http passthrough
+        }
+        df = spark.createDataFrame([(k,) for k in cases], "u string")
+        got = {r.u: r.c for r in
+               df.select("u", canonicalize_url(F.col("u")).alias("c")).collect()}
+        assert got == cases
+
+    def test_idempotent(self, spark):
+        from crawlspark.frontier import canonicalize_url
+
+        df = spark.createDataFrame(
+            [("HTTP://A.VN:80/x?b=2&a=1#f",)], "u string")
+        once = df.select(canonicalize_url(F.col("u")).alias("c"))
+        twice = once.select(canonicalize_url(F.col("c")).alias("c"))
+        assert once.first()["c"] == twice.first()["c"]
