@@ -91,3 +91,60 @@ def run_available_now(stream_df: DataFrame, query_name: str,
          .start())
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def stream_crawl(spark: SparkSession, pages_path: str, store,
+                 robots: DataFrame, host_rank: DataFrame,
+                 checkpoint_dir: str, waves_per_batch: int = 20,
+                 **driver_kwargs):
+    """The crawl itself as a Structured Streaming consumer: pages land
+    incrementally (a fetcher fleet writing parquet files) and each
+    micro-batch drives wave(s) of the SAME WaveDriver over the pages
+    seen SO FAR — schedule, extract, dedup, normalize, snapshot-commit.
+
+    Semantics (and why they compose):
+    - The frontier/seen state lives in the SnapshotStore, NOT in
+      streaming state: pending urls whose pages haven't landed yet are
+      'missing' this batch and simply retry on the next one (P8), so
+      discovery order across batches mirrors the batch crawl.
+    - Each batch unions the new files with everything before them (the
+      accumulating view a fetcher's output directory gives you anyway)
+      by re-reading the source path in batch mode — micro-batch input
+      alone would lose earlier pages that a later-enqueued url needs.
+    - Exactly-once: SnapshotStore commits are atomic per wave and the
+      streaming checkpoint makes file delivery at-least-once; replayed
+      batches re-run waves against already-committed state and commit
+      only new deltas (same property the kill-resume test pins).
+
+    driver_kwargs: forwarded to WaveDriver — raise max_retries when
+    pages can land many batches after their urls are enqueued.
+    Returns the streaming query (trigger availableNow drains the
+    current backlog and stops; drop it for a long-running tail -f).
+    """
+    from .driver import WaveDriver
+    from .schemas import PAGES_SCHEMA
+
+    drv = WaveDriver(spark, store, **driver_kwargs)
+
+    def process(_batch_df: DataFrame, _epoch: int) -> None:
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
+        if drv.pending_count() == 0:
+            return
+        # Like run_until_done, but a wave that fetches/enqueues/defers
+        # NOTHING means the pending urls' pages haven't LANDED yet —
+        # stop the batch and leave them pending for the next one,
+        # instead of burning the P8 retry budget against an incomplete
+        # corpus (each batch costs at most one attempt per missing url).
+        for _ in range(waves_per_batch):
+            stats = drv.run_wave(pages, robots, host_rank)
+            if not stats["work_remains"]:
+                break
+            if (stats["fetched"] == 0 and stats["enqueued"] == 0
+                    and stats["deferred"] == 0):
+                break
+
+    return (spark.readStream.schema(PAGES_SCHEMA).parquet(pages_path)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -69,3 +69,58 @@ def test_dedup_stream(spark, tmp_path):
                               str(tmp_path / "ckpt_dedup"))
     rows = out.collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_stream_crawl_matches_batch_crawl(spark, tmp_path):
+    """The crawl as a stream consumer: pages land in three chunks
+    (lists first, details split), stream_crawl drains them with
+    availableNow triggers, and the final seen/extracted/jobs state is
+    BIT-IDENTICAL to a one-shot batch crawl of the same corpus."""
+    from crawlspark import synth
+    from crawlspark.driver import WaveDriver, table_hash
+    from crawlspark.streaming import stream_crawl
+    from crawlspark.tables import SnapshotStore
+
+    N = 300
+    pdf = synth.gen_pages_pandas(N, seed=42)
+    robots = spark.createDataFrame(synth.gen_robots())
+    ranks = spark.createDataFrame(synth.gen_host_rank())
+    seeds = synth.gen_seed_list(N)
+
+    # batch reference
+    bdrv = WaveDriver(spark, SnapshotStore(tmp_path / "wh_batch"),
+                      num_partitions=4)
+    bdrv.bootstrap(seeds)
+    bdrv.run_until_done(spark.createDataFrame(pdf), robots, ranks, 10)
+
+    def fingerprint(drv):
+        # wave NUMBERS legitimately differ (a detail whose page lands
+        # two batches later is fetched in a later wave); the parity
+        # contract is the CONTENT: seen set, extracted bytes, jobs
+        return (table_hash(drv.seen_view().drop("expires_at")),
+                table_hash(drv.extracted_view().select("url", "text")),
+                table_hash(drv.jobs_view().drop("wave")))
+
+    ref = fingerprint(bdrv)
+
+    # streaming: lists land first, then details in two chunks
+    pages_dir = tmp_path / "pages_stream"
+    is_list = pdf["url"].str.contains("viec-lam-vi|viec-lam-trang")
+    chunks = [pdf[is_list], pdf[~is_list].iloc[::2], pdf[~is_list].iloc[1::2]]
+    store = SnapshotStore(tmp_path / "wh_stream")
+    sdrv_store = store
+    first = True
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk).repartition(2).write.mode("append") \
+            .parquet(str(pages_dir))
+        if first:
+            drv = WaveDriver(spark, store, num_partitions=4)
+            drv.bootstrap(seeds)
+            first = False
+        q = stream_crawl(spark, str(pages_dir), store, robots, ranks,
+                         str(tmp_path / "ckpt"), num_partitions=4,
+                         max_retries=6)
+        q.awaitTermination()
+
+    sdrv = WaveDriver(spark, store, num_partitions=4, max_retries=6)
+    assert fingerprint(sdrv) == ref
