@@ -67,6 +67,16 @@ def schedule(frontier: DataFrame, robots: DataFrame, wave_start,
     state: 'scheduled' (fetch this wave) | 'deferred' (budget exhausted)
     | 'disallowed' (robots). Deterministic: FIFO priority order inside
     the group, no wall clock, no RNG. Pure Column expressions.
+
+    Scale note (10^10 frontier, Zipf hosts): the slot window sorts each
+    host's PENDING rows, so one mega-host backlog lands in one sort
+    task. The budget bounds what a wave FETCHES, not the backlog; if a
+    single host accumulates ~10^8 pending rows the exact-equivalent
+    mitigation is a two-phase per-host top-k (per-partition top-budget
+    by the same order, then this window on the union — rows outside a
+    partition's top-budget can never be globally scheduled). Not
+    implemented: the closed-world backlogs stay wave-bounded, and the
+    driver's enqueue path feeds hosts incrementally.
     """
     fr = join_robots(frontier, robots)
     keep_cols = [f.name for f in frontier.schema.fields if f.name != "state"]
