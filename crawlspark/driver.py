@@ -77,6 +77,7 @@ WAVE_EPOCH = datetime(2026, 1, 1)
 WAVE_SECONDS = 3600  # one wave = one cron cycle (cmd/vieclam24h/crawler/main.go:24)
 
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+_SEEN_COLS = [f.name for f in SEEN_SCHEMA.fields]
 
 _STAT_KEYS = ("fetched", "missing", "missing_retryable", "deferred",
               "disallowed", "enqueued", "new", "updated", "unchanged")
@@ -195,7 +196,7 @@ class WaveDriver:
         out = self._resolved("seen", ["source", "id"])
         if out is None:
             return None
-        return out.select(*[f.name for f in SEEN_SCHEMA.fields])
+        return out.select(*_SEEN_COLS)
 
     # -- bootstrap ----------------------------------------------------------
     def bootstrap(self, seeds: pd.DataFrame) -> int:

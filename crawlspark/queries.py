@@ -1094,7 +1094,10 @@ def q_url_canonical(spark, sf):
             .orderBy("o_orderkey"))
 
 
-SQL_URL_CANONICAL = r"""
+_URL_PAT = r"'^(?i)(https?)://([^/?#]+)([^?#]*)(\?([^#]*))?(#.*)?$'"
+_URL_QS = "array_to_string(list_sort(list_filter(string_split(q, '&'), x -> x != '')), '&')"
+
+SQL_URL_CANONICAL = rf"""
 WITH u AS (
   SELECT o_orderkey::BIGINT AS o_orderkey,
          'HTTP://Viec' || (o_orderkey % 40) || '.Example.VN'
@@ -1106,10 +1109,10 @@ WITH u AS (
   FROM orders WHERE o_orderkey % 4 = 0
 ), p AS (
   SELECT o_orderkey, url,
-         lower(regexp_extract(url, '^(?i)(https?)://([^/?#]+)([^?#]*)(\?([^#]*))?(#.*)?$', 1)) AS scheme,
-         lower(regexp_extract(url, '^(?i)(https?)://([^/?#]+)([^?#]*)(\?([^#]*))?(#.*)?$', 2)) AS host0,
-         regexp_extract(url, '^(?i)(https?)://([^/?#]+)([^?#]*)(\?([^#]*))?(#.*)?$', 3) AS path0,
-         regexp_extract(url, '^(?i)(https?)://([^/?#]+)([^?#]*)(\?([^#]*))?(#.*)?$', 5) AS q
+         lower(regexp_extract(url, {_URL_PAT}, 1)) AS scheme,
+         lower(regexp_extract(url, {_URL_PAT}, 2)) AS host0,
+         regexp_extract(url, {_URL_PAT}, 3) AS path0,
+         regexp_extract(url, {_URL_PAT}, 5) AS q
   FROM u
 )
 SELECT o_orderkey, url,
@@ -1120,10 +1123,8 @@ SELECT o_orderkey, url,
                 THEN substr(host0, 1, length(host0) - 4)
                 ELSE host0 END)
        || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
-       || (CASE WHEN array_to_string(list_sort(list_filter(
-                     string_split(q, '&'), x -> x != '')), '&') = '' THEN ''
-                ELSE '?' || array_to_string(list_sort(list_filter(
-                     string_split(q, '&'), x -> x != '')), '&') END)
+       || (CASE WHEN {_URL_QS} = '' THEN ''
+                ELSE '?' || {_URL_QS} END)
        AS canonical
 FROM p ORDER BY o_orderkey
 """

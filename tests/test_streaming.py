@@ -108,7 +108,6 @@ def test_stream_crawl_matches_batch_crawl(spark, tmp_path):
     is_list = pdf["url"].str.contains("viec-lam-vi|viec-lam-trang")
     chunks = [pdf[is_list], pdf[~is_list].iloc[::2], pdf[~is_list].iloc[1::2]]
     store = SnapshotStore(tmp_path / "wh_stream")
-    sdrv_store = store
     first = True
     for i, chunk in enumerate(chunks):
         spark.createDataFrame(chunk).repartition(2).write.mode("append") \
