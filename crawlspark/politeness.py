@@ -47,16 +47,26 @@ DEFAULT_DETAIL_DELAY_MS = 5000  # reference detail default (scraper.go:29-32)
 
 
 def join_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Broadcast-join the (tiny) robots table; flag disallowed urls with
-    a built-in higher-order prefix match (P4)."""
+    """Broadcast-join the (tiny) robots table; flag disallowed urls (P4).
+
+    With an ``allow_prefixes`` column (parse_robots_txt output) the
+    full RFC 9309 longest-match evaluation applies; without it the
+    fixture-era disallow-prefix match is kept (backward-compatible)."""
     path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
     fr = frontier.join(F.broadcast(robots), "host", "left")
-    return fr.withColumn(
-        "_disallowed",
-        F.when(F.col("disallow_prefixes").isNotNull(),
-               F.exists("disallow_prefixes",
-                        lambda p: path.startswith(p))).otherwise(F.lit(False)),
-    )
+    if "allow_prefixes" in robots.columns:
+        disallowed = F.when(
+            F.col("disallow_prefixes").isNotNull(),
+            ~robots_allows(path, F.col("disallow_prefixes"),
+                           F.coalesce(F.col("allow_prefixes"),
+                                      F.array().cast("array<string>")))
+        ).otherwise(F.lit(False))
+    else:
+        disallowed = F.when(
+            F.col("disallow_prefixes").isNotNull(),
+            F.exists("disallow_prefixes",
+                     lambda p: path.startswith(p))).otherwise(F.lit(False))
+    return fr.withColumn("_disallowed", disallowed)
 
 
 def schedule(frontier: DataFrame, robots: DataFrame, wave_start,
@@ -120,3 +130,105 @@ def schedule(frontier: DataFrame, robots: DataFrame, wave_start,
 
     return fr.select(*keep_cols, slot.alias("slot"),
                      sched_ts.alias("scheduled_ts"), state.alias("state"))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing (RFC 9309) — raw text -> the robots table
+# ---------------------------------------------------------------------------
+def parse_robots_txt(df: DataFrame, user_agent: str,
+                     txt_col: str = "robots_txt",
+                     host_col: str = "host",
+                     wave_ms: int = 3_600_000) -> DataFrame:
+    """Parse raw robots.txt bodies into the politeness robots table
+    (host, crawl_delay_ms, disallow_prefixes, allow_prefixes,
+    tokens_per_wave) — pure Column expressions, no UDF.
+
+    RFC 9309 semantics implemented:
+    - lines split, comments (#...) stripped, keys case-insensitive;
+    - consecutive ``User-agent`` lines head ONE group sharing the rule
+      block that follows (the standard start-group recurrence:
+      a UA line whose predecessor is not a UA line starts a group);
+    - group selection: the most specific match wins — a group naming
+      the crawler's product token (case-insensitive substring per RFC
+      §2.2.1) beats ``*``; ALL groups at the winning specificity merge;
+    - rules collected: Allow / Disallow prefixes (empty-value Disallow
+      means allow-all and contributes no prefix), Crawl-delay seconds
+      (non-standard but ubiquitous; ms + wave token budget derived).
+
+    Hosts with no matching group (or unparsable bodies) fall back to
+    DEFAULT_DELAY_MS and no prefixes — the same absent-robots default
+    the scheduler applies (matching colly's permissive default).
+    """
+    ua = user_agent.lower()
+    lines = (df.select(host_col,
+                       F.posexplode(F.split(F.col(txt_col), "\n"))
+                       .alias("_i", "_line"))
+             .withColumn("_line",
+                         F.trim(F.regexp_replace("_line", "#.*$", "")))
+             .filter(F.col("_line") != "")
+             .withColumn("_key", F.lower(F.trim(
+                 F.regexp_extract("_line", r"^([^:]+):", 1))))
+             .withColumn("_val", F.trim(
+                 F.regexp_extract("_line", r"^[^:]+:(.*)$", 1))))
+    w = Window.partitionBy(host_col).orderBy("_i")
+    is_ua = (F.col("_key") == "user-agent").cast("int")
+    starts = ((is_ua == 1)
+              & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)).cast("int")
+    grouped = lines.withColumn("_grp", F.sum(starts).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+
+    gw = Window.partitionBy(host_col, "_grp")
+    ua_val = F.when(is_ua == 1, F.lower(F.col("_val")))
+    # a group applies when one of its UA lines names this crawler's
+    # product token (equal or a non-empty prefix of it — the practical
+    # RFC §2.2.1 reading) or is '*'; most specific wins, ties merge
+    line_spec = (F.when((ua_val != "") & F.lit(ua).startswith(ua_val)
+                        & (ua_val != "*"), 2)
+                 .when(ua_val == "*", 1).otherwise(0))
+    rules = (grouped.withColumn("_spec", F.max(line_spec).over(gw))
+             .withColumn("_best", F.max(F.col("_spec")).over(
+                 Window.partitionBy(host_col)))
+             .filter((F.col("_spec") == F.col("_best"))
+                     & (F.col("_spec") > 0)))
+
+    out = (rules.groupBy(host_col).agg(
+        F.sort_array(F.collect_set(F.when(
+            (F.col("_key") == "disallow") & (F.col("_val") != ""),
+            F.col("_val")))).alias("disallow_prefixes"),
+        F.sort_array(F.collect_set(F.when(
+            (F.col("_key") == "allow") & (F.col("_val") != ""),
+            F.col("_val")))).alias("allow_prefixes"),
+        F.max(F.when(F.col("_key") == "crawl-delay",
+                     F.col("_val").try_cast("double"))).alias("_delay_s")))
+    out = out.withColumn(
+        "crawl_delay_ms",
+        F.coalesce((F.col("_delay_s") * 1000).cast("int"),
+                   F.lit(DEFAULT_DELAY_MS))).drop("_delay_s")
+    # hosts whose robots named no applicable group: permissive default
+    all_hosts = df.select(host_col).distinct()
+    out = (all_hosts.join(out, host_col, "left")
+           .withColumn("crawl_delay_ms",
+                       F.coalesce("crawl_delay_ms", F.lit(DEFAULT_DELAY_MS)))
+           .withColumn("disallow_prefixes",
+                       F.coalesce("disallow_prefixes",
+                                  F.array().cast("array<string>")))
+           .withColumn("allow_prefixes",
+                       F.coalesce("allow_prefixes",
+                                  F.array().cast("array<string>"))))
+    return out.withColumn(
+        "tokens_per_wave",
+        (F.lit(wave_ms) / F.col("crawl_delay_ms")).cast("int"))
+
+
+def robots_allows(path: Column, disallow_prefixes: Column,
+                  allow_prefixes: Column) -> Column:
+    """RFC 9309 §2.2.2 rule evaluation: the LONGEST matching prefix
+    wins; on a length tie Allow wins ('least restrictive'); no match =
+    allowed. Pure array expressions."""
+    def longest(prefixes):
+        lens = F.transform(
+            F.filter(prefixes, lambda p: path.startswith(p)),
+            lambda p: F.length(p))
+        return F.coalesce(F.array_max(lens), F.lit(-1))
+
+    return longest(allow_prefixes) >= longest(disallow_prefixes)

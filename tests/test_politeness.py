@@ -56,3 +56,93 @@ def test_detail_class_spacing_and_budget(spark):
     # detail budget 2: third detail row deferred; lists unaffected
     assert out["d2"]["state"] == "deferred"
     assert out["l1"]["state"] == "scheduled"
+
+
+class TestRobotsTxtParsing:
+    ROBOTS = """
+# comment line
+User-agent: googlebot
+Disallow: /g-only/
+
+User-agent: crawlspark
+User-agent: otherbot
+Disallow: /private/
+Allow: /private/jobs/
+Crawl-delay: 2
+Disallow:
+
+User-agent: *
+Disallow: /everything/
+""".strip()
+
+    def _parsed(self, spark, txt=None):
+        from crawlspark.politeness import parse_robots_txt
+
+        df = spark.createDataFrame(
+            [("a.vn", txt if txt is not None else self.ROBOTS)],
+            "host string, robots_txt string")
+        return parse_robots_txt(df, "crawlspark").collect()[0]
+
+    def test_group_selection_and_rules(self, spark):
+        r = self._parsed(spark)
+        # the named group wins over * and googlebot; consecutive UA
+        # lines share it; empty Disallow contributes nothing
+        assert r.disallow_prefixes == ["/private/"]
+        assert r.allow_prefixes == ["/private/jobs/"]
+        assert r.crawl_delay_ms == 2000
+        assert r.tokens_per_wave == 1800
+
+    def test_star_fallback_and_defaults(self, spark):
+        r = self._parsed(spark, "User-agent: *\nDisallow: /x/")
+        assert r.disallow_prefixes == ["/x/"]
+        assert r.crawl_delay_ms == 3000  # no Crawl-delay -> default
+        r2 = self._parsed(spark, "User-agent: googlebot\nDisallow: /y/")
+        assert r2.disallow_prefixes == []  # no applicable group: permissive
+
+    def test_rules_before_any_group_ignored(self, spark):
+        r = self._parsed(spark, "Disallow: /orphan/\nUser-agent: *\nDisallow: /x/")
+        assert r.disallow_prefixes == ["/x/"]
+
+    def test_longest_match_allow_wins(self, spark):
+        from crawlspark.politeness import robots_allows
+
+        df = spark.createDataFrame(
+            [("/private/jobs/1",), ("/private/other",), ("/public",)],
+            "path string")
+        out = {r.path: r.ok for r in df.select(
+            "path", robots_allows(
+                F.col("path"),
+                F.array(F.lit("/private/")),
+                F.array(F.lit("/private/jobs/"))).alias("ok")).collect()}
+        assert out == {"/private/jobs/1": True,   # longer Allow wins
+                       "/private/other": False,
+                       "/public": True}           # no match -> allowed
+
+    def test_tie_goes_to_allow(self, spark):
+        from crawlspark.politeness import robots_allows
+
+        df = spark.createDataFrame([("/p/x",)], "path string")
+        ok = df.select(robots_allows(
+            F.col("path"), F.array(F.lit("/p/")),
+            F.array(F.lit("/p/"))).alias("ok")).first()["ok"]
+        assert ok  # equal length: least restrictive
+
+    def test_parsed_robots_drive_the_scheduler(self, spark):
+        """End-to-end: raw robots.txt -> parse -> schedule. The Allow
+        carve-out survives the gate; the Disallow blocks; Crawl-delay
+        sets the slot spacing."""
+        from crawlspark import politeness as P
+
+        robots = P.parse_robots_txt(spark.createDataFrame(
+            [("a.vn", self.ROBOTS)], "host string, robots_txt string"),
+            "crawlspark")
+        fr = spark.createDataFrame(
+            [(f"https://a.vn{p}", "a.vn", 0, 1, 0, i, 1.0, "pending", 0)
+             for i, p in enumerate(
+                 ["/private/jobs/1", "/private/x", "/ok"])],
+            "url string, host string, depth int, wave int, page int, "
+            "rank int, priority double, state string, attempts int")
+        out = {r.url.split("a.vn")[1]: r.state
+               for r in P.schedule(fr, robots, "2026-01-01").collect()}
+        assert out == {"/private/jobs/1": "scheduled",
+                       "/private/x": "disallowed", "/ok": "scheduled"}
