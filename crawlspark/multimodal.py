@@ -290,9 +290,17 @@ def extract_features(media: DataFrame, frame_stride: int = 10) -> DataFrame:
             .mapInPandas(run, schema=FEATURE_SCHEMA))
 
 
-def gen_media_pandas(n: int, seed: int = 42) -> pd.DataFrame:
+def gen_media_rows(n: int, seed: int = 42) -> list:
     """Deterministic synthetic media table with REAL payloads: PNG
-    images (gradient+noise), PCM16 WAV tones, CSV1 video clips."""
+    images (gradient+noise), PCM16 WAV tones, CSV1 video clips.
+
+    Returns raw row tuples of Python ints / bytes / None, matching
+    MEDIA_SCHEMA column order. Feed these straight to
+    ``spark.createDataFrame(rows, MEDIA_SCHEMA)`` — a pandas
+    round-trip upcasts the nullable int columns to float64 on the
+    non-Arrow conversion path and the schema verifier rejects
+    ``32.0`` for IntegerType, so the tuple form is the only one
+    that is session-config-independent."""
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
@@ -325,10 +333,17 @@ def gen_media_pandas(n: int, seed: int = 42) -> pd.DataFrame:
                       for k in range(12 + i % 9)]
             payload, mime, dur = encode_video(frames), "video/x-csv1", 1000
         rows.append((i, kind, payload, mime, w, h, dur))
-    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "mime",
-                                      "width", "height", "duration_ms"])
-    # int+None columns upcast to float64, which createDataFrame(...,
-    # MEDIA_SCHEMA) rejects for IntegerType — force nullable Int32.
+    return rows
+
+
+def gen_media_pandas(n: int, seed: int = 42) -> pd.DataFrame:
+    """Pandas view of gen_media_rows for local inspection. Do NOT feed
+    this to createDataFrame: without Arrow the fallback path runs
+    to_records(), which coerces nullable Int32 back to float64 and the
+    schema verifier throws. Use gen_media_rows + MEDIA_SCHEMA."""
+    pdf = pd.DataFrame(gen_media_rows(n, seed),
+                       columns=["media_id", "kind", "payload", "mime",
+                                "width", "height", "duration_ms"])
     for col in ("width", "height", "duration_ms"):
         pdf[col] = pd.array(pdf[col].tolist(), dtype="Int32")
     return pdf

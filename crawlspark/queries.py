@@ -1288,7 +1288,11 @@ def q_media_features(spark, sf):
     table is synthesized deterministically — no external data."""
     from . import multimodal as M
 
-    media = spark.createDataFrame(M.gen_media_pandas(120),
+    # Raw row tuples, NOT the pandas frame: the non-Arrow
+    # createDataFrame fallback coerces nullable Int32 → float64 via
+    # to_records() and the schema verifier rejects it. Tuples work
+    # identically whether or not the session enables Arrow.
+    media = spark.createDataFrame(M.gen_media_rows(120),
                                   schema=M.MEDIA_SCHEMA)
     return (M.extract_features(media)
             .select(F.col("media_id").cast("long").alias("media_id"),

@@ -128,6 +128,32 @@ class TestSparkPath:
         df = spark.createDataFrame(pdf, schema=M.MEDIA_SCHEMA)
         assert df.count() == 12
 
+    def test_gen_media_rows_raw_tuples(self):
+        # The catalog path must NOT depend on pandas dtype preservation:
+        # every metadata value is a Python int or None, never numpy/float.
+        for row in M.gen_media_rows(12):
+            mid, kind, payload, mime, w, h, dur = row
+            assert type(mid) is int
+            assert payload is None or isinstance(payload, bytes)
+            for v in (w, h, dur):
+                assert v is None or type(v) is int, row
+
+    def test_media_features_without_arrow(self, spark):
+        """Round-3 red row: the driver's harness runs a vanilla session
+        (no Arrow), where createDataFrame(pandas) falls back to
+        to_records() and coerces Int32→float64. The catalog query must
+        survive that exact config."""
+        from crawlspark.queries import QUERIES
+
+        key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            rows = QUERIES["media_features"][0](spark, None).limit(3).collect()
+            assert len(rows) == 3
+        finally:
+            spark.conf.set(key, prev)
+
     def test_media_features_query_runs(self, spark):
         from crawlspark.queries import QUERIES
         rows = QUERIES["media_features"][0](spark, None).collect()
