@@ -16,6 +16,8 @@ embeddings natively.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,7 +27,37 @@ from . import textops as X
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table loader with small-input fan-out. A table under one
+    maxPartitionBytes arrives as a SINGLE input split, so every
+    downstream stage (shingle explodes, md5 signatures) runs in ONE
+    task — measured: the sf0.1 doc queries were single-threaded on a
+    32-core box, and the explode alone cost 3.5 s of doc_lsh_pairs'
+    6.6 s. A round-robin repartition of a sub-128MB table costs ~ms
+    and unlocks full parallelism; at 100 TB inputs carry thousands of
+    splits and this branch never fires (filters still push through a
+    Repartition node to the scan — PushPredicateThroughNonJoin).
+
+    Fan-out is limited to the text/embedding tables: their pipelines
+    are md5/count/per-row-array ops whose results are independent of
+    row placement. The TPC-H-family queries SUM doubles, where a
+    32-way partial order can flip a round(x, 2) by one ulp against
+    the oracle (observed on pricing_summary) — and they are scan-
+    bound, not compute-bound, so fan-out buys them nothing."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name not in ("documents", "embeddings"):
+        return df
+    try:
+        sz = (os.path.getsize(path) if os.path.isfile(path) else
+              sum(f.stat().st_size for f in os.scandir(path)
+                  if f.is_file() and not f.name.startswith(("_", "."))))
+    except OSError:
+        return df
+    split_mb = 128 << 20
+    para = spark.sparkContext.defaultParallelism
+    if sz and sz // split_mb + 1 < para:
+        df = df.repartition(para)
+    return df
 
 
 # ===========================================================================

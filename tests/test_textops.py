@@ -262,3 +262,50 @@ class TestJaccardForms:
                X.ngram_jaccard(docs, docs, "text", "doc_id", 2, cand)
                .filter(F.col("jaccard") >= 0.3).collect()}
         assert got == exp and len(got) > 0
+
+    def test_pair_restricted_count_form_equals_array_verify(self, spark):
+        """ngram_jaccard_for_pairs (the LSH verify hot path) must match
+        the array twin on every candidate pair with jaccard > 0, and
+        drop only zero-intersection pairs."""
+        from crawlspark import textops as X
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ids = [r.doc_id for r in docs.select("doc_id").limit(40).collect()]
+        pair_rows = [(a, b) for a in ids[:20] for b in ids[20:] if a < b][:60]
+        cand = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+        got = {(r.id_a, r.id_b, r.jaccard) for r in
+               X.ngram_jaccard_for_pairs(docs, cand).collect()}
+        arr = X.ngram_jaccard(docs, docs, "text", "doc_id", 2, cand).collect()
+        exp_pos = {(r.id_a, r.id_b, r.jaccard) for r in arr if r.jaccard > 0}
+        exp_zero = {(r.id_a, r.id_b) for r in arr if r.jaccard == 0}
+        assert got == exp_pos
+        assert {(a, b) for a, b, _ in got}.isdisjoint(exp_zero)
+
+    def test_lsh_pairs_unchanged_by_count_verify(self, spark):
+        """minhash_lsh_pairs output must be identical before/after the
+        verify rewrite: compare against the array-verify composition."""
+        from crawlspark import textops as X
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {(r.id_a, r.id_b, r.jaccard) for r in
+               X.minhash_lsh_pairs(docs).collect()}
+        sig = X.minhash_signature(docs, "text", "doc_id", 8, 2)
+        bands, rpb = 4, 2
+        bs = [F.struct(F.lit(b).alias("band"),
+                       F.concat_ws("|", *[F.col(f"mh{b * rpb + r}")
+                                          for r in range(rpb)]).alias("val"))
+              for b in range(bands)]
+        banded = (sig.select("doc_id", F.explode(F.array(*bs)).alias("bv"))
+                  .select("doc_id", "bv.band", "bv.val"))
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.val") == F.col("b.val"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("id_a"),
+                        F.col("b.doc_id").alias("id_b")).distinct())
+        exp = {(r.id_a, r.id_b, r.jaccard) for r in
+               X.ngram_jaccard(docs, docs, "text", "doc_id", 2, cand)
+               .filter(F.col("jaccard") >= 0.5).collect()}
+        assert got == exp and len(got) > 0
