@@ -359,6 +359,68 @@ def simhash_udf():
     return _simhash_udf
 
 
+def simhash64_frame(df: DataFrame, text_col: str = "text",
+                    key_col: str = "url") -> DataFrame:
+    """(key, sh): the SAME md5 bit-vote simhash as simhash64_py, fully
+    JVM-side — the last per-row Python hot loop in the engine, removed.
+    The DuckDB oracle (queries.SQL_DOC_SIMHASH) already proved the
+    bit-vote is expressible relationally; this is that exact plan in
+    Spark built-ins:
+
+      explode tokens -> md5 -> two 32-bit halves via conv(hex,16,10)
+      (dodges unsigned-64 overflow; ANSI mode) -> 64 bit-vote SUM
+      aggregates (map-side combined) -> sign bits reassembled into a
+      signed long (bit 63 contributes LONG_MIN).
+
+    MEASURED (sf0.1, 5k docs / 256k tokens, local[32], warm): this
+    form 1.2 s vs 7.9 s for the round-3 single-task pUDF — but the
+    SAME pUDF on a fanned-out input runs 0.12 s: hashlib.md5 is
+    C-backed, so the "per-row Python loop" was never interpreter-bound
+    and the explode+wide-agg here pays a 256k-row shuffle the pUDF
+    avoids entirely. The JVM form stays the default for its plan
+    properties (no Python workers, no Arrow channel, pure codegen —
+    the properties that matter on a shared 1000-executor cluster);
+    simhash_udf remains for callers who want the measured-faster
+    local path.
+
+    Parity notes vs the pUDF (kept as cross-checked fallback):
+    - tokenize = split(lower(text), '\\s+') with empties filtered;
+      Python str.split() splits on Unicode whitespace, Java regex \\s
+      is ASCII-only — identical on the ASCII corpus and both test- and
+      oracle-pinned.
+    - empty/null text: explode_outer emits one null-token row whose
+      votes are all -1 (null CASE condition takes the ELSE branch), so
+      every sign bit is 0 and sh = 0, matching simhash64_py('') == 0.
+    """
+    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.filter(F.split(txt, r"\s+"), lambda x: x != F.lit(""))
+    h = F.md5(F.col("_tok"))
+    rows = (df.select(F.col(key_col).alias("key"),
+                      F.explode_outer(toks).alias("_tok"))
+            .select("key",
+                    F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                    .alias("_hi"),
+                    F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+                    .alias("_lo")))
+    # vote_i = 2*ones_i - n, so sign(vote_i) needs only the raw bit
+    # sums (no per-row CASE): bit set iff 2*ones_i > n. Ties (vote=0)
+    # give bit 0, same as the pUDF's votes>0. Empty docs: n=0 and
+    # ones_i NULL, the > comparison is NULL -> otherwise(0) -> sh=0.
+    ones = [
+        F.sum(F.shiftright(F.col("_lo" if i < 32 else "_hi"), i % 32)
+              .bitwiseAND(F.lit(1))).alias(f"_o{i}")
+        for i in range(64)
+    ]
+    agg = rows.groupBy("key").agg(F.count("_lo").alias("_n"), *ones)
+    two_n = F.col("_n")
+    sh = (F.when(F.col("_o63") * 2 > two_n, F.lit(-(1 << 63)))
+          .otherwise(F.lit(0)))
+    for i in range(63):
+        sh = sh + (F.when(F.col(f"_o{i}") * 2 > two_n, F.lit(1 << i))
+                   .otherwise(F.lit(0)))
+    return agg.select("key", sh.alias("sh"))
+
+
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       key_col: str = "url", bands: int = 4,
                       max_hamming: int = 3) -> DataFrame:
@@ -371,8 +433,8 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     intra-bucket pairing is bounded by bucket size (hot buckets can be
     additionally length-salted upstream if text duplication is extreme).
     """
-    sh = simhash_udf()
-    base = df.select(F.col(key_col).alias("k"), sh(F.col(text_col)).alias("sh"))
+    base = (simhash64_frame(df, text_col, key_col)
+            .withColumnRenamed("key", "k"))
     return _banded_pairs(base, bands, max_hamming)
 
 
@@ -425,9 +487,7 @@ def simhash_dup_classes(df: DataFrame, text_col: str = "text",
       rep_pairs: (key_a, key_b, hamming) — near-dup pairs BETWEEN
         class representatives, verified on the full 64-bit hash.
     """
-    sh = simhash_udf()
-    base = (df.select(F.col(key_col).alias("key"),
-                      sh(F.col(text_col)).alias("sh")))
+    base = simhash64_frame(df, text_col, key_col)
     w = Window.partitionBy("sh")
     classes = (base.withColumn("rep", F.min("key").over(w))
                .withColumn("group_size", F.count("*").over(w)))

@@ -1021,12 +1021,16 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
 
 
 def q_doc_simhash(spark, sf):
-    """D5 simhash hashes (pandas UDF). The md5-based bit-vote was
-    chosen so DuckDB can replay it EXACTLY in SQL: per-token h =
-    int(md5(tok)[:16],16), votes = sum(bit?+1:-1) per bit position,
-    signed 64-bit reassembly."""
+    """D5 simhash hashes, fully JVM-side (dedup.simhash64_frame: the
+    md5 bit-vote as explode + conv + 64 partial-agg sums — no Python
+    stage in the plan; the pUDF twin is the cross-checked fallback).
+    The md5-based scheme was chosen so DuckDB replays it EXACTLY in
+    SQL: per-token h = int(md5(tok)[:16],16), votes = sum(bit?+1:-1)
+    per bit position, signed 64-bit reassembly."""
     docs = _t(spark, sf, "documents")
-    return (docs.select("doc_id", D.simhash_udf()(F.col("text")).alias("simhash"))
+    return (D.simhash64_frame(docs, "text", "doc_id")
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.col("sh").alias("simhash"))
             .orderBy("doc_id"))
 
 

@@ -144,6 +144,39 @@ class TestSimhash:
         got = [r["s"] for r in df.select(D.simhash_udf()(F.col("t")).alias("s")).collect()]
         assert got == [D.simhash64_py(t) for t in texts]
 
+    def test_jvm_frame_matches_py(self, spark):
+        """simhash64_frame (the JVM hot path) must equal simhash64_py
+        bit-for-bit, including empty/null/whitespace-only edge rows and
+        tab/newline token separators."""
+        texts = ["one two three", "", None, "Xin chào thế giới",
+                 "  padded   runs\tof\nwhitespace  ", "single",
+                 "UPPER lower MiXeD case TOKENS here now"]
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, t string")
+        got = {r["key"]: r["sh"]
+               for r in D.simhash64_frame(df, "t", "doc_id").collect()}
+        exp = {i: D.simhash64_py(t) for i, t in enumerate(texts)}
+        assert got == exp
+
+    def test_jvm_frame_matches_py_on_corpus(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        got = {r["key"]: r["sh"]
+               for r in D.simhash64_frame(docs, "text", "doc_id").collect()}
+        exp = {r["doc_id"]: D.simhash64_py(r["text"])
+               for r in docs.select("doc_id", "text").collect()}
+        assert got == exp and len(got) > 100
+
+    def test_jvm_frame_plan_has_no_python_stage(self, spark):
+        """The round-3 verdict's ask: no Python stage in the simhash
+        plan — the md5 bit-vote runs entirely in JVM codegen."""
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, t string")
+        out = D.simhash64_frame(df, "t", "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "BatchEvalPython",
+                       "FlatMapGroupsInPandas", "MapInPandas"):
+            assert marker not in plan, marker
+
 
 class TestNullSemantics:
     def test_null_value_handling(self, spark):
