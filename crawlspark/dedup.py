@@ -65,7 +65,7 @@ def seen_live(seen: DataFrame, now: Column | None = None) -> DataFrame:
 
 
 def classify(candidates: DataFrame, seen: DataFrame,
-             now: Column | None = None) -> DataFrame:
+             now: Column | None = None, broadcast: bool = True) -> DataFrame:
     """D1 three-way change detection (deduplicator.go:49-67):
     missing -> NEW; stored != last_updated_on -> UPDATED; else UNCHANGED.
 
@@ -76,11 +76,20 @@ def classify(candidates: DataFrame, seen: DataFrame,
     would hash-exchange the ENTIRE seen table every wave. Instead the
     left join is decomposed so seen only ever STREAMS (column-pruned
     scan, zero exchange):
-      hits = seen ⋈ broadcast(candidates)   (inner, seen streamed)
-      news = candidates ▷ broadcast(hits keys)  (anti, both sides small)
-    Seen is scanned twice (once per branch when the result
-    materializes), but two pruned columnar scans beat one full-table
-    shuffle write+read at any scale where seen >> wave.
+      hit_vals = seen ⋈ broadcast(candidate KEYS)   (inner, streamed)
+      hits = candidates ⋈ broadcast(hit_vals)        (status compare)
+      news = candidates ▷ broadcast(hit_vals keys)   (anti)
+    Only (source, id[, last_updated_on]) triples are ever broadcast —
+    never full candidate rows (a list-heavy wave's payload columns
+    would press the 8 GB broadcast hard limit; ADVICE r3) — and the
+    candidate frame itself never shuffles either. Seen is scanned
+    once per materializing branch, but pruned columnar scans beat a
+    full-table shuffle write+read at any scale where seen >> wave.
+
+    broadcast=False is the escape hatch for a wave whose KEY SET
+    alone outgrows the driver: one plain left join (both sides
+    hash-exchange; seen pays a full shuffle) with identical output —
+    degradation, not failure.
 
     NULL semantics match the reference's Redis string compare: presence
     is the inner-join match itself (a stored NULL value is still
@@ -92,7 +101,21 @@ def classify(candidates: DataFrame, seen: DataFrame,
     out_cols = list(candidates.columns) + ["status"]
     s = (seen_live(seen, now)
          .select("source", "id", F.col("last_updated_on").alias("_seen_val")))
-    hits = (s.join(F.broadcast(candidates), ["source", "id"], "inner")
+    if not broadcast:
+        joined = candidates.join(
+            s.withColumn("_seen", F.lit(True)), ["source", "id"], "left")
+        return joined.withColumn(
+            "status",
+            F.when(F.col("_seen").isNull(), F.lit(STATUS_NEW))
+            .when(~F.col("_seen_val").eqNullSafe(F.col("last_updated_on")),
+                  F.lit(STATUS_UPDATED))
+            .otherwise(F.lit(STATUS_UNCHANGED))).select(*out_cols)
+    # distinct: duplicate candidate keys must not fan out the
+    # candidates ⋈ hit_vals join (seen is unique per key, so distinct
+    # keys keep hit_vals at <=1 row per key)
+    keys = candidates.select("source", "id").distinct()
+    hit_vals = s.join(F.broadcast(keys), ["source", "id"], "inner")
+    hits = (candidates.join(F.broadcast(hit_vals), ["source", "id"], "inner")
             .withColumn(
                 "status",
                 F.when(~F.col("_seen_val").eqNullSafe(F.col("last_updated_on")),
@@ -100,7 +123,7 @@ def classify(candidates: DataFrame, seen: DataFrame,
                 .otherwise(F.lit(STATUS_UNCHANGED)))
             .select(*out_cols))
     news = (candidates
-            .join(F.broadcast(hits.select("source", "id")),
+            .join(F.broadcast(hit_vals.select("source", "id")),
                   ["source", "id"], "left_anti")
             .withColumn("status", F.lit(STATUS_NEW))
             .select(*out_cols))

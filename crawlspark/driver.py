@@ -93,12 +93,26 @@ def _obs_get(obs: Observation, names: list[str], fallback: DataFrame,
     row produced when the observed node first executes inside a
     broadcast-build job (read getAsJava instead), and a query that hits
     the persisted cache ABOVE the metrics node can complete first with
-    no metrics at all (empty map) — then recompute the same aggregates
-    directly on the cached frame (tiny: one job over cached
-    partitions, rare in practice)."""
-    m = dict(obs._jo.getAsJava())
-    if all(n in m for n in names):
-        return {n: int(m[n]) for n in names}
+    no metrics at all — then recompute the same aggregates directly on
+    the cached frame (tiny: one job over cached partitions, rare in
+    practice).
+
+    Missing metrics are detected with the NON-blocking getRowOrEmpty
+    (None until the observation fires): getAsJava blocks forever on an
+    unfired observation's future, which would hang the driver on the
+    cache-hit path instead of reaching the fallback (verified
+    empirically on 4.1.2). One short grace retry covers listener
+    latency between job completion and metric registration."""
+    # NB getRowOrEmpty returns a *scala Option* — py4j hands back a
+    # JavaObject proxy even for None$, so test isEmpty(), not `is None`
+    fired = not obs._jo.getRowOrEmpty().isEmpty()
+    if not fired:
+        time.sleep(0.1)
+        fired = not obs._jo.getRowOrEmpty().isEmpty()
+    if fired:
+        m = dict(obs._jo.getAsJava())
+        if all(n in m for n in names):
+            return {n: int(m[n]) for n in names}
     row = fallback.agg(*exprs).first()
     return {n: int(row[n]) for n in names}
 

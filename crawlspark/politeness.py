@@ -151,9 +151,11 @@ def parse_robots_txt(df: DataFrame, user_agent: str,
     - group selection: the most specific match wins — a group naming
       the crawler's product token (case-insensitive substring per RFC
       §2.2.1) beats ``*``; ALL groups at the winning specificity merge;
-    - rules collected: Allow / Disallow prefixes (empty-value Disallow
-      means allow-all and contributes no prefix), Crawl-delay seconds
-      (non-standard but ubiquitous; ms + wave token budget derived).
+    - rules collected: Allow / Disallow path patterns (empty-value
+      Disallow means allow-all and contributes no pattern; '*' and
+      trailing '$' specials are evaluated downstream by
+      robots_allows), Crawl-delay seconds (non-standard but
+      ubiquitous; ms + wave token budget derived).
 
     Hosts with no matching group (or unparsable bodies) fall back to
     DEFAULT_DELAY_MS and no prefixes — the same absent-robots default
@@ -222,13 +224,32 @@ def parse_robots_txt(df: DataFrame, user_agent: str,
 
 def robots_allows(path: Column, disallow_prefixes: Column,
                   allow_prefixes: Column) -> Column:
-    """RFC 9309 §2.2.2 rule evaluation: the LONGEST matching prefix
-    wins; on a length tie Allow wins ('least restrictive'); no match =
-    allowed. Pure array expressions."""
-    def longest(prefixes):
-        lens = F.transform(
-            F.filter(prefixes, lambda p: path.startswith(p)),
-            lambda p: F.length(p))
-        return F.coalesce(F.array_max(lens), F.lit(-1))
+    """RFC 9309 §2.2.2 rule evaluation: the most specific (longest
+    pattern) matching rule wins; on a length tie Allow wins ('least
+    restrictive'); no match = allowed. Pure array expressions.
+
+    Patterns support the spec's two special characters: ``*`` matches
+    any character sequence and a trailing ``$`` anchors the end of the
+    path (both ubiquitous in real robots files — 'Disallow: /*.php',
+    'Disallow: /search$'). Each rule value compiles to an anchored
+    Java regex per row (literals escaped, '*' -> '.*', trailing '$' ->
+    end anchor); plain prefix rules keep the cheap startswith fast
+    path via a short-circuiting CASE. Specificity = length of the raw
+    pattern text, the standard practical reading of "most octets"."""
+    def match_len(p):
+        ends = p.endswith("$")
+        core = F.when(ends, F.substring(p, F.lit(1), F.length(p) - 1)) \
+                .otherwise(p)
+        esc = F.regexp_replace(core, "([.^$+?(){}\\[\\]\\\\|])", "\\\\$1")
+        reg = F.concat(F.lit("^"),
+                       F.replace(esc, F.lit("*"), F.lit(".*")),
+                       F.when(ends, F.lit("$")).otherwise(F.lit("")))
+        matched = (F.when(~p.contains("*") & ~ends, path.startswith(p))
+                   .otherwise(F.regexp_like(path, reg)))
+        return F.when(matched, F.length(p)).otherwise(F.lit(-1))
+
+    def longest(patterns):
+        return F.coalesce(F.array_max(F.transform(patterns, match_len)),
+                          F.lit(-1))
 
     return longest(allow_prefixes) >= longest(disallow_prefixes)

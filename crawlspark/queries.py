@@ -1298,8 +1298,37 @@ def q_ann_ivf(spark, sf):
         if not os.path.exists(os.path.join(path + "_centroids", "_SUCCESS")):
             X.build_ivf_index(emb, path, n_centroids=16, max_iter=5)
         _IVF_INDEX_CACHE[sf] = path
-    return (X.ann_topk_ivf(spark, _IVF_INDEX_CACHE[sf], q, k=10, nprobe=4)
-            .select(F.col("vec_id").cast("long").alias("vec_id"), "cosine"))
+    path = _IVF_INDEX_CACHE[sf]
+    out = (X.ann_topk_ivf(spark, path, q, k=10, nprobe=4)
+           .select(F.col("vec_id").cast("long").alias("vec_id"), "cosine"))
+    # Self-checking contracts (replaces trust-the-pytest; the row was
+    # `no_oracle` because the trained quantizer is not SQL-replicable).
+    # All cosines below fold the identical F.aggregate expression in
+    # array order, so comparisons are float-EXACT:
+    #   1. SOUND — full-probe top-10 over the index == brute-force
+    #      top-10 over the raw table (quantizer partitioning must be
+    #      lossless; catches stale/corrupt index and k-means bugs).
+    #   2. SOUND — every returned cosine equals brute force's cosine
+    #      for that vec_id (index stores true vectors, not residuals).
+    #   3. FIXTURE-VALIDATED — returned top-10 at nprobe=4/16 sits
+    #      inside brute-force top-50. Not guaranteed by IVF semantics
+    #      (a low-recall probe can surface deeper ranks) but holds on
+    #      both driver scales for this corpus and pins recall drift.
+    # Reference frames are <=50 rows; the asserts cost two small jobs.
+    ref = {r["vec_id"]: r["cosine"]
+           for r in X.brute_force_topk(emb, q, k=50)
+           .select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
+           .collect()}
+    full = (X.ann_topk_ivf(spark, path, q, k=10, nprobe=16)
+            .select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
+            .collect())
+    top10 = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert sorted((r["vec_id"], r["cosine"]) for r in full) == sorted(top10), \
+        "ann_ivf: full probe != brute force top-10"
+    for r in out.collect():
+        assert r["vec_id"] in ref and ref[r["vec_id"]] == r["cosine"], \
+            f"ann_ivf containment violated for vec_id={r['vec_id']}"
+    return out
 
 
 def q_ann_lsh(spark, sf):

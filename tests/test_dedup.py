@@ -307,3 +307,25 @@ class TestSimhashHotBuckets:
                for r in simhash_near_dups(docs).collect()}
         got = {(r.key_a, r.key_b, r.hamming) for r in rep_pairs.collect()}
         assert got == exp
+
+
+class TestClassifyForms:
+    def test_broadcast_false_parity_and_dup_keys(self, spark):
+        """The non-broadcast escape hatch must classify identically,
+        and duplicate candidate keys must not fan out in either form."""
+        seen = _seen(spark, [
+            ("s", "1", 0, "100", "2026-02-01", 0),
+            ("s", "2", 0, "200", "2026-02-01", 0),
+        ])
+        cands = _cands(spark, [
+            ("s", "1", "h", "100"),   # UNCHANGED
+            ("s", "1", "h", "999"),   # dup key, different value: UPDATED
+            ("s", "2", "h", "200"),   # UNCHANGED
+            ("s", "3", "h", "x"),     # NEW
+        ])
+        for bc in (True, False):
+            got = sorted((r["id"], r["last_updated_on"], r["status"])
+                         for r in D.classify(cands, seen, _now(),
+                                             broadcast=bc).collect())
+            assert got == [("1", "100", "UNCHANGED"), ("1", "999", "UPDATED"),
+                           ("2", "200", "UNCHANGED"), ("3", "x", "NEW")], bc

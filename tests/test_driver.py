@@ -2,6 +2,7 @@
 across waves, robots, budget deferral, kill-resume determinism."""
 
 import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -307,3 +308,35 @@ class TestSeenDeterminism:
             assert seen[0]["last_updated_on"] == "1111"  # page 1 wins
             hashes.add(table_hash(drv.seen_view()))
         assert len(hashes) == 1  # invariant across partition layouts
+
+
+class TestObsGet:
+    def test_unfired_observation_falls_back_without_hanging(self, spark):
+        """ADVICE r3: getAsJava blocks forever on an unfired
+        observation. _obs_get must detect the missing metrics with the
+        non-blocking getRowOrEmpty probe and run the deterministic
+        fallback aggregate instead — the cache-hit-above-CollectMetrics
+        wave path depends on it."""
+        from pyspark.sql import Observation
+
+        from crawlspark.driver import _obs_get
+
+        obs = Observation("never_fires")
+        df = spark.range(7)
+        df.observe(obs, F.count("*").alias("n"))  # observed plan NEVER run
+        t0 = time.monotonic()
+        got = _obs_get(obs, ["n"], df, [F.count("*").alias("n")])
+        assert got == {"n": 7}
+        assert time.monotonic() - t0 < 30  # not the blocked future
+
+    def test_fired_observation_reads_metrics(self, spark):
+        from pyspark.sql import Observation
+
+        from crawlspark.driver import _obs_get
+
+        obs = Observation("fires")
+        df = spark.range(5).observe(obs, F.count("*").alias("n"))
+        df.count()
+        # fallback frame is wrong on purpose: metrics must win
+        got = _obs_get(obs, ["n"], spark.range(99), [F.count("*").alias("n")])
+        assert got == {"n": 5}

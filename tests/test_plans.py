@@ -130,7 +130,16 @@ class TestCrawlPipeline:
         cands = spark.createDataFrame(
             [("s", "1", "h", "100")], "source string, id string, host string, last_updated_on string")
         plan = plan_of(D.classify(cands, seen))
-        assert "Exchange hashpartitioning" not in plan
+        # The only permitted hash exchange is the candidate KEY SET
+        # dedup inside the broadcast build (two short key columns) —
+        # neither seen's value column nor any candidate payload column
+        # may ride an exchange (ADVICE r3: full-row broadcasts pressed
+        # the 8 GB limit; now only key/value triples move).
+        for chunk in plan.split("Exchange hashpartitioning")[1:]:
+            head = chunk.splitlines()[0]
+            assert "source" in head and "id" in head
+            for banned in ("last_updated_on", "_seen_val", "host"):
+                assert banned not in head, (banned, head)
         assert plan.count("BroadcastHashJoin") >= 2
         assert "LeftAnti" in plan and "Inner" in plan
 

@@ -118,6 +118,45 @@ Disallow: /everything/
                        "/private/other": False,
                        "/public": True}           # no match -> allowed
 
+    def test_wildcard_and_anchor_patterns(self, spark):
+        """ADVICE r3: RFC 9309 special characters — '*' spans any
+        char sequence, trailing '$' anchors the path end; regex
+        metacharacters in rule values stay literal."""
+        from crawlspark.politeness import robots_allows
+
+        cases = [
+            # Disallow: /*.php
+            ("/index.php", ["/*.php"], [], False),
+            ("/a/b/page.php", ["/*.php"], [], False),
+            ("/php-guide", ["/*.php"], [], True),      # '.php' not present
+            ("/file.phpx", ["/*.php"], [], False),     # no anchor: matches
+            # Disallow: /search$
+            ("/search", ["/search$"], [], False),
+            ("/search/results", ["/search$"], [], True),
+            ("/search?q=x", ["/search$"], [], True),
+            # mid-pattern '*' with anchor
+            ("/a/x/end", ["/a/*/end$"], [], False),
+            ("/a/x/end/more", ["/a/*/end$"], [], True),
+            # Allow wildcard beats shorter Disallow (specificity=len)
+            ("/dir/page.html", ["/dir/"], ["/dir/*.html"], True),
+            # regex metachars in values are literal, not operators
+            ("/price(usd)", ["/price(usd)"], [], False),
+            ("/priceusd", ["/price(usd)"], [], True),
+            ("/a+b", ["/a+b"], [], False),
+            ("/ab", ["/a+b"], [], True),
+        ]
+        rows = [(p,) for p, _, _, _ in cases]
+        df = spark.createDataFrame(rows, "path string")
+        for i, (p, dis, allow, want) in enumerate(cases):
+            got = df.filter(F.col("path") == p).select(robots_allows(
+                F.col("path"),
+                F.array(*[F.lit(d) for d in dis]) if dis else
+                F.array().cast("array<string>"),
+                F.array(*[F.lit(a) for a in allow]) if allow else
+                F.array().cast("array<string>")).alias("ok")) \
+                .first()["ok"]
+            assert got == want, (p, dis, allow, want, got)
+
     def test_tie_goes_to_allow(self, spark):
         from crawlspark.politeness import robots_allows
 
