@@ -311,11 +311,14 @@ class WaveDriver:
         # wave-long cache holds only extracted columns. Unfetchable urls
         # (P8 retry) come from an anti join reading ONLY pages.url.
         fetch_cols = to_fetch.select("url", "depth", "page", "id", "last_updated_on")
+        obs_fetch = Observation()
+        fetch_metrics = [F.count(F.lit(1)).alias("fetched")]
         processed = (extract_pages(
             pages.select("url", "html", F.col("warc_ts").alias("_warc_ts"))
                  .join(F.broadcast(fetch_cols), "url", "inner"))
             .select("url", "depth", "page", "id", "last_updated_on",
                     "_warc_ts", "_links", "x", "jsonld")
+            .observe(obs_fetch, *fetch_metrics)
             .persist())
         # P8 retry: missing urls return to the pending pool with
         # attempts+1 (state left 'scheduled' would orphan them forever;
@@ -466,19 +469,24 @@ class WaveDriver:
                 print(f"[wave {wave}] {label} {time.time() - _t:.2f}s", flush=True)
             _t = time.time()
 
-        # Action 1: fill the extraction cache (one narrow job — the
-        # commit's concurrent writes must not race on the uncached
-        # Python stage). Also materializes sched -> obs_sched fills.
-        fetched = processed.count()
-        _tick("extract")
-        # Action 2: fill the classify cache -> obs_cls fills (the bloom
-        # decision below needs the enqueued count pre-commit).
+        # THE pre-commit action (one per wave): materializing classified
+        # computes the whole chain beneath it — sched, the Python
+        # extraction stage, and the bloom probe all fill their persist
+        # caches in this single job, and obs_sched/obs_fetch/obs_cls
+        # all fire (their CollectMetrics nodes sit below the persists).
+        # Round-4 merge: a separate processed.count() action was pure
+        # job-constant overhead — the extraction cache fills here just
+        # the same, and the commit's concurrent writes still see only
+        # cached frames. The bloom decision below needs the enqueued
+        # count pre-commit, hence counting classified, not processed.
         classified.count()
+        fetched = _obs_get(obs_fetch, ["fetched"],
+                           processed, fetch_metrics)["fetched"]
         cls = _obs_get(obs_cls, ["new", "updated", "unchanged"],
                        classified, cls_metrics)
         counted = {"fetched": fetched, **cls,
                    "enqueued": cls["new"] + cls["updated"]}
-        _tick("classify")
+        _tick("extract+classify")
 
         # incremental bloom maintenance: delta bloom at fixed capacity,
         # OR-merged into the stored table — O(delta + n_salts); skipped
@@ -499,7 +507,19 @@ class WaveDriver:
                      "lineage": lineage_new, "jsonld_audit": audit},
             output_partitions=self.snapshot_files,
             # only the fat tables pay a file-sizing shuffle; control
-            # tables write with natural partitioning
+            # tables write with natural partitioning.
+            # MEASURED ANTI-RESULT (round 4, 60k pages, best-of-2):
+            # folding appends into one partitionBy(_table) job — the
+            # obvious way to cut per-job constants — is SLOWER than
+            # the thread-pooled separate writes at both 2c and 8c:
+            # baseline 7.2s@8c/11.0s@2c commit wall, 4-control-table
+            # fold 8.1/12.1, all-6 fold 9.9/15.3. Concurrent job
+            # submission already overlaps the constants, while the
+            # fold serializes all branches into one DAG, pays a
+            # column-superset union, and runs 7 dynamic-partition
+            # writers per task. fold_appends stays available in
+            # SnapshotStore (tested) for regimes with higher per-job
+            # cost (e.g. a remote catalog), but the driver doesn't use it.
             repartition_tables={"jobs", "extracted"})
         _tick("commit")
         # sched/missing observations filled during action 1 / the

@@ -71,6 +71,21 @@ class SnapshotStore:
                 return [str(self.root / p) for p in paths], part
         return None
 
+    def _read_paths(self, spark: SparkSession, paths: list[str],
+                    select: dict) -> DataFrame:
+        """Union a table's batch dirs. A dir written by a FOLDED commit
+        (several control tables in one partitioned write) carries the
+        fold's column superset; its manifest `select` entry prunes it
+        back to the table's own columns."""
+        plain = [p for p in paths if p not in select]
+        frames = ([spark.read.parquet(*plain)] if plain else []) + [
+            spark.read.parquet(p).select(*select[p]) for p in paths
+            if p in select]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def read(self, spark: SparkSession, table: str,
              snapshot_id: int | None = None) -> DataFrame | None:
         """Read a table at a snapshot (default: latest). None if absent.
@@ -85,13 +100,25 @@ class SnapshotStore:
         if got is None:
             return None
         paths, part = got
+        select = self._select_map(snapshot_id)
         if len(paths) == 1:
-            return spark.read.parquet(paths[0])
+            return self._read_paths(spark, paths, select)
         if not part:
-            return spark.read.parquet(*paths)
-        deltas = spark.read.parquet(*paths[1:])
+            return self._read_paths(spark, paths, select)
+        deltas = self._read_paths(spark, paths[1:], select)
         return deltas.unionByName(
             spark.read.parquet(paths[0]).select(*deltas.columns))
+
+    def _select_map(self, snapshot_id: int | None = None) -> dict:
+        """abs-path -> column list for folded batch dirs (carried
+        forward across snapshots like the table entries themselves)."""
+        snaps = self.snapshots()
+        if snapshot_id is not None:
+            snaps = [s for s in snaps if s["sid"] == snapshot_id]
+        if not snaps:
+            return {}
+        sel = snaps[-1].get("select", {})
+        return {str(self.root / rel): cols for rel, cols in sel.items()}
 
     def read_split(self, spark: SparkSession, table: str,
                    snapshot_id: int | None = None
@@ -107,10 +134,11 @@ class SnapshotStore:
         if got is None:
             return None, None
         paths, _ = got
-        base = spark.read.parquet(paths[0])
+        select = self._select_map(snapshot_id)
+        base = self._read_paths(spark, paths[:1], select)
         if len(paths) == 1:
             return base, None
-        deltas = spark.read.parquet(*paths[1:])
+        deltas = self._read_paths(spark, paths[1:], select)
         return base.select(*deltas.columns), deltas
 
     # -- commit -----------------------------------------------------------
@@ -118,7 +146,8 @@ class SnapshotStore:
                partition_by: dict[str, list[str]] | None = None,
                output_partitions: int | None = None,
                appends: dict[str, DataFrame] | None = None,
-               repartition_tables: set[str] | None = None) -> int:
+               repartition_tables: set[str] | None = None,
+               fold_appends: set[str] | None = None) -> int:
         """Write `tables` (overwrite semantics) and `appends` (the wave's
         batch joins the table's directory list — O(batch) IO instead of
         an O(total) rewrite, like Iceberg appending data files), then
@@ -128,7 +157,19 @@ class SnapshotStore:
         repartition_tables limits the file-sizing repartition to the
         named (fat) tables — small control/delta tables write with their
         natural partitioning, saving one shuffle per table per wave
-        (Iceberg's writer handles file sizing in production)."""
+        (Iceberg's writer handles file sizing in production).
+
+        fold_appends names append tables to write as ONE Spark job: a
+        column-superset union partitioned by a `_table` discriminator.
+        Every parquet job pays corpus-size-independent constants
+        (Catalyst planning, task scheduling, committer setup) that are
+        pure serial fraction at N->4N scaling; folding the small
+        control deltas cuts the wave's job count without changing any
+        table's read schema — each folded dir's manifest `select`
+        entry prunes reads back to the table's own columns, and a
+        zero-row table simply contributes no partition dir (nothing is
+        appended). Column names shared across folded tables must have
+        identical types (the driver's fold set does)."""
         manifest = self._read_manifest()
         prev = manifest["snapshots"][-1] if manifest["snapshots"] else None
         sid = (prev["sid"] + 1) if prev else 1
@@ -138,6 +179,7 @@ class SnapshotStore:
         # with directory partitioning (e.g. seen bucketed by salt) —
         # readers must read such a base separately from the flat deltas
         layout: dict = dict(prev.get("layout", {})) if prev else {}
+        select_map: dict = dict(prev.get("select", {})) if prev else {}
 
         def _write(item):
             name, df = item
@@ -165,32 +207,77 @@ class SnapshotStore:
                 part_cols = []
             return name, rel, part_cols
 
+        appends = appends or {}
+        folded = {n: df for n, df in appends.items()
+                  if fold_appends and n in fold_appends}
+        plain_appends = {n: df for n, df in appends.items() if n not in folded}
+
+        def _write_folded():
+            from pyspark.sql import functions as F
+
+            cols_by = {n: df.columns for n, df in folded.items()}
+            frames = [df.withColumn("_table", F.lit(n))
+                      for n, df in folded.items()]
+            uni = frames[0]
+            for f in frames[1:]:
+                uni = uni.unionByName(f, allowMissingColumns=True)
+            if output_partitions:
+                # round-robin, NOT by _table: hashing by the
+                # discriminator would funnel each table's whole batch
+                # into one task; round-robin keeps the write wide and
+                # the partitionBy writer still splits files per table
+                uni = uni.repartition(output_partitions)
+            rel = f"data/{sid}/ctl"
+            uni.write.mode("overwrite").partitionBy("_table") \
+               .parquet(str(self.root / rel))
+            # a zero-row table leaves no partition dir: append nothing
+            return [(n, f"{rel}/_table={n}", cols)
+                    for n, cols in cols_by.items()
+                    if (self.root / rel / f"_table={n}").exists()]
+
+        def _append_entry(name, rel):
+            prev_entry = entry_tables.get(name, [])
+            prev_list = (prev_entry if isinstance(prev_entry, list)
+                         else [prev_entry])
+            entry_tables[name] = prev_list + [rel]
+
         # Spark accepts concurrent job submission from driver threads:
         # writing the wave's tables in parallel keeps all cores busy
         # instead of serializing N small parquet jobs (the serial
         # fraction is what kills N->4N scaling efficiency).
         from concurrent.futures import ThreadPoolExecutor
 
-        appends = appends or {}
-        all_items = list(tables.items()) + list(appends.items())
-        with ThreadPoolExecutor(max_workers=max(1, len(all_items))) as pool:
+        all_items = list(tables.items()) + list(plain_appends.items())
+        n_jobs = len(all_items) + (1 if folded else 0)
+        with ThreadPoolExecutor(max_workers=max(1, n_jobs)) as pool:
+            fold_fut = pool.submit(_write_folded) if folded else None
             for name, rel, part_cols in pool.map(_write, all_items):
-                if name in appends:
-                    prev_entry = entry_tables.get(name, [])
-                    prev_list = prev_entry if isinstance(prev_entry, list) else [prev_entry]
-                    entry_tables[name] = prev_list + [rel]
+                if name in plain_appends:
+                    _append_entry(name, rel)
                 else:
                     entry_tables[name] = rel
                     if part_cols:
                         layout[name] = part_cols
                     else:
                         layout.pop(name, None)
+            if fold_fut is not None:
+                for name, rel, cols in fold_fut.result():
+                    _append_entry(name, rel)
+                    select_map[rel] = cols
+
+        # prune select entries whose dirs are no longer referenced
+        # (compaction overwrote the table; its delta chain was dropped)
+        live: set = set()
+        for e in entry_tables.values():
+            live.update(e if isinstance(e, list) else [e])
+        select_map = {k: v for k, v in select_map.items() if k in live}
 
         manifest["snapshots"].append({
             "sid": sid,
             "wave": wave,
             "tables": entry_tables,
             "layout": layout,
+            "select": select_map,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         })
         tmp = self._manifest_path.with_suffix(".json.tmp")

@@ -340,3 +340,43 @@ class TestObsGet:
         # fallback frame is wrong on purpose: metrics must win
         got = _obs_get(obs, ["n"], spark.range(99), [F.count("*").alias("n")])
         assert got == {"n": 5}
+
+
+class TestFoldedCommit:
+    def test_fold_roundtrip_select_pruning_and_empty(self, spark, tmp_path):
+        """SnapshotStore.fold_appends: several append tables written as
+        one partitioned job must read back with their own schemas; a
+        zero-row table appends nothing; later unfolded appends to the
+        same table union cleanly with folded dirs.
+
+        (The wave driver measured the fold SLOWER than thread-pooled
+        separate writes on this box and does not use it — the seam
+        stays for high-per-job-cost backends, so it stays tested.)"""
+        from crawlspark.tables import SnapshotStore
+
+        store = SnapshotStore(tmp_path / "wh")
+        a = spark.createDataFrame([(1, "x"), (2, "y")], "k int, va string")
+        b = spark.createDataFrame([(7, 3.5)], "k int, vb double")
+        empty = spark.createDataFrame([], "k int, vc string")
+        store.commit(1, {}, appends={"ta": a, "tb": b, "tc": empty},
+                     fold_appends={"ta", "tb", "tc"})
+        ra = store.read(spark, "ta")
+        assert sorted(ra.columns) == ["k", "va"]      # superset pruned
+        assert {(r.k, r.va) for r in ra.collect()} == {(1, "x"), (2, "y")}
+        rb = store.read(spark, "tb")
+        assert sorted(rb.columns) == ["k", "vb"]
+        assert rb.first().vb == 3.5
+        assert store.read(spark, "tc") is None         # nothing appended
+
+        # mixed chain: plain (unfolded) append after a folded one
+        a2 = spark.createDataFrame([(3, "z")], "k int, va string")
+        store.commit(2, {}, appends={"ta": a2})
+        assert {r.k for r in store.read(spark, "ta").collect()} == {1, 2, 3}
+
+        # overwrite drops the delta chain and prunes stale select keys
+        store.commit(3, {"ta": spark.createDataFrame([(9, "w")],
+                                                     "k int, va string")})
+        assert {r.k for r in store.read(spark, "ta").collect()} == {9}
+        assert all(not k.endswith("=ta") for k in store._select_map())
+        # tb's folded dir is still live, its select entry survives
+        assert any(k.endswith("=tb") for k in store._select_map())

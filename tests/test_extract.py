@@ -127,3 +127,51 @@ class TestSparkParity:
         n = exploded.count()
         assert n == 150
         assert exploded.filter(F.col("item_id").isNull()).count() == 0
+
+
+class TestJvmParity:
+    """extract_pages_jvm (pure Column expressions) must equal the
+    Arrow/Python-oracle stage row for row over the full synthetic
+    corpus — every field, both page depths, plus null/empty html."""
+
+    def _both(self, spark, df):
+        from crawlspark.extract import extract_pages, extract_pages_jvm
+
+        sel = ["url", "depth", "_links", "x", "jsonld"]
+        a = extract_pages(df).select(*sel)
+        b = extract_pages_jvm(df).select(*sel)
+        return a, b
+
+    def test_full_corpus_equality(self, spark):
+        pages = synth.gen_pages_pandas(600, seed=42)
+        df = (spark.createDataFrame(pages[["url", "html"]])
+              .withColumn("depth",
+                          F.when(F.col("url").contains("/viec-lam/danh-sach"),
+                                 F.lit(0)).otherwise(F.lit(1))))
+        a, b = self._both(spark, df)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        assert a.count() == len(pages)
+
+    def test_null_and_empty_html(self, spark):
+        rows = [("u0", None, 0), ("u1", None, 1),
+                ("u2", b"", 0), ("u3", b"", 1),
+                ("u4", b"<p>no structures</p>", 1)]
+        df = spark.createDataFrame(rows, "url string, html binary, depth int")
+        a, b = self._both(spark, df)
+        ra = {r.url: r.asDict() for r in a.collect()}
+        rb = {r.url: r.asDict() for r in b.collect()}
+        assert ra == rb
+        assert ra["u1"]["x"]["jsonld_count"] == 0
+        assert ra["u0"]["_links"] == []
+
+    def test_jvm_plan_has_no_python_stage(self, spark):
+        from crawlspark.extract import extract_pages_jvm
+
+        df = spark.createDataFrame([("u", b"<p></p>", 1)],
+                                   "url string, html binary, depth int")
+        plan = extract_pages_jvm(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for marker in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython",
+                       "FlatMapGroupsInPandas", "MapInPandas"):
+            assert marker not in plan, marker

@@ -91,11 +91,7 @@ class TestCrawlPipeline:
         assert plan.count("ArrowEvalPython") == 1
         assert "Exchange" not in plan  # narrow end to end
 
-    def test_driver_extraction_is_one_maparrow_stage(self, spark):
-        """The crawl hot path (driver.run_wave shape): broadcast join
-        into ONE pandas-free MapInArrow stage — no ArrowEvalPython
-        (pandas channel), no second Python stage, html consumed and
-        dropped inside the stage (never in an Exchange)."""
+    def _extraction_plan(self, spark, impl):
         from crawlspark import synth
         from crawlspark.extract import extract_pages
 
@@ -105,9 +101,27 @@ class TestCrawlPipeline:
                       .withColumn("page", F.lit(1)))
         df = (extract_pages(
             pages.select("url", "html", F.col("warc_ts").alias("_warc_ts"))
-                 .join(F.broadcast(fetch_cols), "url", "inner"))
+                 .join(F.broadcast(fetch_cols), "url", "inner"), impl=impl)
             .select("url", "depth", "page", "x", "jsonld"))
-        plan = plan_of(df)
+        return plan_of(df)
+
+    def test_jvm_extraction_twin_is_pure_jvm(self, spark):
+        """The round-4 JVM twin (opt-in; measured slower than the
+        Arrow stage on this box, see extract.py): NO Python stage of
+        any kind, html consumed in-stage and never in an Exchange."""
+        plan = self._extraction_plan(spark, "jvm")
+        for marker in ("MapInArrow", "ArrowEvalPython", "BatchEvalPython",
+                       "FlatMapGroupsInPandas", "MapInPandas"):
+            assert marker not in plan, marker
+        assert "BroadcastHashJoin" in plan
+        for chunk in plan.split("Exchange")[1:]:
+            assert "html" not in chunk.splitlines()[0]
+
+    def test_arrow_extraction_is_one_maparrow_stage(self, spark):
+        """The DEFAULT (driver hot path) keeps its round-3 shape: ONE
+        pandas-free MapInArrow stage, no second Python stage, html
+        never shuffled."""
+        plan = self._extraction_plan(spark, "arrow")
         assert plan.count("MapInArrow") == 1
         assert "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
