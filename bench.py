@@ -31,7 +31,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "120000"))
+# 240k (up from 120k in r3): the crawl's corpus-size-independent
+# constants (~9.5 s/crawl measured: planning + job submission + py4j)
+# are pure serial fraction in the N->4N comparison — a bigger corpus
+# amortizes them. Driver heap scales with it (28g was the measured
+# no-thrash floor at 240k in round 2).
+N_PAGES = int(os.environ.get("CRAWLSPARK_BENCH_PAGES", "240000"))
 WARM_PAGES = 1500
 # best-of-N timed crawls per parallelism level: run-to-run variance on
 # this box is ±30%, and min-time is the standard low-noise estimator
@@ -84,7 +89,7 @@ def _spark(cpus: int, master: str | None = None,
     from crawlspark.session import get_spark
 
     conf = {"spark.driver.memory":
-            os.environ.get("CRAWLSPARK_BENCH_MEM", "24g")}
+            os.environ.get("CRAWLSPARK_BENCH_MEM", "32g")}
     if executor_mem:
         # local-cluster's [mem] is worker CAPACITY; the executor JVM
         # size is spark.executor.memory (default 1g) and must be set
@@ -296,10 +301,19 @@ def main():
     scale_hi = int(os.environ.get("CRAWLSPARK_SCALE_HI", "8"))
     urls_full, secs_full, fp_full = crawl_run(
         CPUS, pages_path, warm_path, seeds, warm_seeds, robots_pdf, ranks_pdf)
+    # The hw probe is CO-MEASURED with each scaling crawl (round-3
+    # verdict: the ceiling is only evidence when the probe and the
+    # crawl saw the same host state): one sample immediately before
+    # and one immediately after each level; the level's bandwidth =
+    # mean of its two samples.
+    bw_hi_pre = memory_bandwidth(scale_hi, best_of=1)
     urls_hi, secs_hi, fp_hi = crawl_run(
         scale_hi, pages_path, warm_path, seeds, warm_seeds, robots_pdf, ranks_pdf)
+    bw_hi_post = memory_bandwidth(scale_hi, best_of=1)
+    bw_lo_pre = memory_bandwidth(scale_lo, best_of=1)
     urls_lo, secs_lo, fp_lo = crawl_run(
         scale_lo, pages_path, warm_path, seeds, warm_seeds, robots_pdf, ranks_pdf)
+    bw_lo_post = memory_bandwidth(scale_lo, best_of=1)
 
     # EXECUTOR-shaped N->4N pair (north_rule: "two cluster sizes, N and
     # 4N executors"): separate-JVM local-cluster with 1 vs 4 executors
@@ -310,12 +324,24 @@ def main():
     xec_lo = xec_hi = None
     if os.environ.get("CRAWLSPARK_EXEC_PAIR", "1") == "1":
         xmem = os.environ.get("CRAWLSPARK_EXEC_MEM", "12288")
+        # the exec pair keeps the r3 corpus size: its 1-executor level
+        # holds the whole corpus in ONE 12g JVM, and 240k pages is past
+        # that heap's measured thrash point — the pair compares 1 vs 4
+        # executors on ITS OWN shared corpus, which is what the
+        # N->4N-executors criterion needs
+        xn = min(N_PAGES, 120_000)
+        xpages_path = f"{tmp}/pages_exec.parquet"
+        xspark = _spark(8)
+        synth.gen_pages_spark(xspark, xn, parallelism=8) \
+             .write.mode("overwrite").parquet(xpages_path)
+        xspark.stop()
+        xseeds = synth.gen_seed_list(xn)
         _, xsec_lo, xfp_lo = crawl_run(
-            4, pages_path, warm_path, seeds, warm_seeds, robots_pdf,
+            4, xpages_path, warm_path, xseeds, warm_seeds, robots_pdf,
             ranks_pdf, master=f"local-cluster[1,4,{xmem}]",
             executor_mem=f"{xmem}m")
         xurls, xsec_hi, xfp_hi = crawl_run(
-            16, pages_path, warm_path, seeds, warm_seeds, robots_pdf,
+            16, xpages_path, warm_path, xseeds, warm_seeds, robots_pdf,
             ranks_pdf, master=f"local-cluster[4,4,{xmem}]",
             executor_mem=f"{xmem}m")
         xec_lo = xurls / xsec_lo
@@ -333,9 +359,9 @@ def main():
     # hardware ceiling: how the BOX's memory bandwidth itself scales
     # over the same parallelism step; engine efficiency is reported
     # raw AND normalized by it (a bandwidth-bound engine cannot scale
-    # past the memory subsystem)
-    bw_lo = memory_bandwidth(scale_lo)
-    bw_hi = memory_bandwidth(scale_hi)
+    # past the memory subsystem). Co-measured around the crawls above.
+    bw_lo = (bw_lo_pre + bw_lo_post) / 2
+    bw_hi = (bw_hi_pre + bw_hi_post) / 2
     # clamp: a "ceiling" above ideal is probe noise (host bandwidth
     # contention can throttle the LO sample), not real headroom
     hw_scaling = min((bw_hi / bw_lo) / (scale_hi / scale_lo), 1.0)
@@ -358,6 +384,10 @@ def main():
             "scaling_efficiency": round(eff, 3),
             "hw_bandwidth_gbps_lo": round(bw_lo, 1),
             "hw_bandwidth_gbps_hi": round(bw_hi, 1),
+            "hw_bandwidth_samples": {
+                "hi_pre": round(bw_hi_pre, 1), "hi_post": round(bw_hi_post, 1),
+                "lo_pre": round(bw_lo_pre, 1), "lo_post": round(bw_lo_post, 1)},
+            "hw_probe_co_measured": True,
             "hw_scaling_ceiling": round(hw_scaling, 3),
             "scaling_efficiency_hw_normalized": round(min(eff / max(hw_scaling, 1e-9), 1.0), 3),
             "determinism_ok": fp_full == fp_hi == fp_lo,
