@@ -1378,6 +1378,139 @@ def q_clean_to_text(spark, sf):
             .orderBy("doc_id"))
 
 
+def q_doc_repetition(spark, sf):
+    """Gopher/RefinedWeb repetition signals (textops.repetition_metrics):
+    token counts, distinct ratio, top-bigram/trigram mass fractions.
+    Oracle rebuilds the n-gram counting with DuckDB lateral range()."""
+    docs = _t(spark, sf, "documents")
+    return (X.repetition_metrics(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_words").cast("long").alias("n_words"),
+                    "distinct_ratio", "top_bigram_frac", "top_trigram_frac")
+            .orderBy("doc_id"))
+
+
+SQL_DOC_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), w AS (
+  SELECT doc_id, ws[i] AS w FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks)
+), bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM toks)
+), tg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM toks)
+), words AS (
+  SELECT doc_id, count(*) AS n_words,
+         round(count(DISTINCT w)::DOUBLE / count(*), 4) AS distinct_ratio
+  FROM w GROUP BY doc_id
+), b2 AS (
+  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id
+), t3 AS (
+  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_trigram_frac
+  FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2) GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(n_words, 0)::BIGINT AS n_words,
+       coalesce(distinct_ratio, 0.0) AS distinct_ratio,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       coalesce(top_trigram_frac, 0.0) AS top_trigram_frac
+FROM documents d LEFT JOIN words USING (doc_id)
+LEFT JOIN b2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_doc_decontaminate(spark, sf):
+    """Train/test decontamination (textops.decontaminate): the held-out
+    eval set is derived deterministically INSIDE the query (doc_id %
+    97 == 0 — the driver generates no separate benchmark table); every
+    corpus doc sharing a distinct word 8-gram with any eval doc is
+    flagged. Exact-duplicate eval docs in the corpus flag their twins —
+    the case decontamination exists for."""
+    docs = _t(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return (X.decontaminate(docs, eval_df, n=8)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_overlap").cast("long").alias("n_overlap"),
+                    "contaminated")
+            .orderBy("doc_id"))
+
+
+SQL_DOC_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), g8 AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+         || ' ' || ws[i+7] AS g
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        FROM toks)
+), eval8 AS (
+  SELECT DISTINCT g FROM g8 WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g8.doc_id, count(*) AS n_overlap
+  FROM g8 JOIN eval8 USING (g) GROUP BY g8.doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_pii_scrub(spark, sf):
+    """PII redaction (textops.pii_scrub). The corpus is word-soup, so
+    deterministic PII is appended per doc (email, intl phone, IPv4)
+    IDENTICALLY in both engines; the scrub replaces with typed tokens
+    and reports the per-doc redaction count. Patterns are written in
+    the Java∩RE2 regex dialect so the SQL oracle runs the same text."""
+    docs = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.example.com or call +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), F.pmod(F.col("doc_id"), F.lit(256)),
+        F.lit(".7"))
+    return (X.pii_scrub(docs.select("doc_id", aug.alias("text")))
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "clean_text", "n_pii")
+            .orderBy("doc_id"))
+
+
+SQL_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || doc_id
+         || '@mail.example.com or call +1-555-'
+         || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         || ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS t
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+         AS clean_text,
+       (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+        + len(regexp_extract_all(
+            regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')))::BIGINT AS n_pii
+FROM aug ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -1405,6 +1538,9 @@ QUERIES = {
     "doc_minhash": (q_doc_minhash, SQL_DOC_MINHASH),
     "doc_lsh_pairs": (q_doc_lsh_pairs, SQL_DOC_LSH_PAIRS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),

@@ -109,12 +109,18 @@ def quality_score(text: Column) -> Column:
 # Shingles / fingerprints
 # ---------------------------------------------------------------------------
 def word_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-grams (space-joined), [] when fewer than n tokens."""
+    """Distinct word n-grams (space-joined), [] when fewer than n tokens.
+
+    The short-doc case must be CASE-gated, not clamped: sequence(1, 0)
+    is a DESCENDING [1, 0] in Spark, and slice(_, 0, n) throws — a
+    1-token doc crashed the un-gated round-1 form (latent until round
+    4's repetition metrics hit it; the fixtures have no short docs)."""
     toks = tokens_expr(text)
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), cnt - (n - 1))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(sh)
+    return (F.when(cnt >= n, F.array_distinct(sh))
+            .otherwise(F.array().cast("array<string>")))
 
 
 def doc_fingerprint(text: Column, k: int = 8) -> Column:
@@ -575,3 +581,121 @@ def ann_topk_ivf(spark, path: str, query: list[float], k: int = 10,
     probes = [int(r["centroid_id"]) for r in ranked[:nprobe]]
     cand = spark.read.parquet(path).filter(F.col("_centroid").isin(probes))
     return brute_force_topk(cand, query, k, vec_col, key_col)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene operators (round 4): repetition, decontamination, PII
+# ---------------------------------------------------------------------------
+def ngrams_all(text: Column, n: int) -> Column:
+    """Word n-grams WITH repeats (space-joined) — unlike word_shingles
+    this keeps duplicates, because repetition metrics need counts.
+    CASE-gated for short docs (see word_shingles)."""
+    toks = tokens_expr(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), cnt - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (F.when(cnt >= n, grams)
+            .otherwise(F.array().cast("array<string>")))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id") -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals per document:
+
+      n_words        whitespace token count
+      distinct_ratio distinct words / words (1.0 = no repeats)
+      top_bigram_frac / top_trigram_frac
+                     fraction of all n-grams taken by the single most
+                     frequent n-gram — the classic boilerplate /
+                     degenerate-generation detector
+
+    Shape: one explode per n-gram order -> count per (doc, gram) ->
+    max/sum per doc (all partial-agg'd map-side). Scales: nothing
+    wider than the token explosion ever shuffles, and the per-doc
+    reduction is two grouped aggregates. Docs with no qualifying
+    n-grams get 0.0 (not null) so downstream filters stay total."""
+    def top_frac(n, name):
+        grams = df.select(F.col(key_col),
+                          F.explode(ngrams_all(F.col(text_col), n))
+                          .alias("g"))
+        per = grams.groupBy(key_col, "g").agg(F.count("*").alias("c"))
+        return (per.groupBy(key_col)
+                .agg(F.round(F.max("c") / F.sum("c"), 4).alias(name)))
+
+    toks = df.select(F.col(key_col),
+                     F.explode(ngrams_all(F.col(text_col), 1)).alias("w"))
+    words = (toks.groupBy(key_col)
+             .agg(F.count("*").alias("n_words"),
+                  F.round(F.count_distinct("w") / F.count("*"), 4)
+                  .alias("distinct_ratio")))
+    out = (df.select(key_col)
+           .join(words, key_col, "left")
+           .join(top_frac(2, "top_bigram_frac"), key_col, "left")
+           .join(top_frac(3, "top_trigram_frac"), key_col, "left"))
+    return out.select(
+        key_col,
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("distinct_ratio", F.lit(0.0)).alias("distinct_ratio"),
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"))
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 8,
+                  text_col: str = "text",
+                  key_col: str = "doc_id") -> DataFrame:
+    """Train/test decontamination: flag documents sharing >=1 distinct
+    word n-gram (default 8 — the common eval-overlap window) with any
+    document of the held-out eval set.
+
+    Shape: distinct n-grams per side (word_shingles is distinct),
+    exploded; the EVAL side is the small one and broadcasts into the
+    semi-ish inner join, so the corpus side never shuffles; per-doc
+    overlap count is one grouped aggregate. At 100 TB the eval set
+    stays benchmark-sized (thousands of docs) — the broadcast holds.
+
+    Returns every corpus doc: (key, n_overlap, contaminated). Eval
+    docs present in df flag themselves (full self-overlap) — that is
+    the right answer for 'is this training doc contaminated'."""
+    corpus = df.select(F.col(key_col),
+                       F.explode(word_shingles(F.col(text_col), n))
+                       .alias("g"))
+    evalg = (eval_df.select(F.explode(word_shingles(F.col(text_col), n))
+                            .alias("g"))
+             .distinct())
+    hits = (corpus.join(F.broadcast(evalg), "g")
+            .groupBy(key_col).agg(F.count("*").alias("n_overlap")))
+    return (df.select(key_col).join(hits, key_col, "left")
+            .select(key_col,
+                    F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+            .withColumn("contaminated", F.col("n_overlap") > 0))
+
+
+# RE2-safe AND Java-safe patterns (no lookaround, no backrefs) so the
+# DuckDB oracle runs the identical pattern text
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RX = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RX = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              key_col: str = "doc_id") -> DataFrame:
+    """PII redaction for training corpora: emails, intl-format phone
+    numbers and IPv4 literals replaced with typed placeholder tokens,
+    plus a per-doc redaction count (the audit metric a scrubbing run
+    reports). Order matters and is fixed: emails first (an email must
+    not be half-eaten by the IP rule via its dotted domain), then
+    phones, then IPs. Pure regexp_replace/regexp_count — JVM codegen,
+    embarrassingly parallel, no shuffle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_pii = (F.regexp_count(t, F.lit(PII_EMAIL_RX))
+             + F.regexp_count(t, F.lit(PII_PHONE_RX))
+             + F.regexp_count(
+                 F.regexp_replace(t, PII_EMAIL_RX, "<EMAIL>"),
+                 F.lit(PII_IPV4_RX)))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RX, "<EMAIL>"),
+            PII_PHONE_RX, "<PHONE>"),
+        PII_IPV4_RX, "<IP>")
+    return df.select(F.col(key_col), clean.alias("clean_text"),
+                     n_pii.cast("long").alias("n_pii"))

@@ -309,3 +309,54 @@ class TestJaccardForms:
                X.ngram_jaccard(docs, docs, "text", "doc_id", 2, cand)
                .filter(F.col("jaccard") >= 0.5).collect()}
         assert got == exp and len(got) > 0
+
+
+class TestCorpusHygiene:
+    def test_repetition_discriminates(self, spark):
+        from crawlspark import textops as X
+
+        rows = [(1, "the cat sat on the mat near the door"),
+                (2, "spam spam spam spam spam spam spam spam"),
+                (3, ""), (4, None), (5, "one"),
+                (6, "a b a b a b a b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        m = {r.doc_id: r for r in X.repetition_metrics(df).collect()}
+        assert m[2].distinct_ratio == 0.125 and m[2].top_bigram_frac == 1.0
+        assert m[1].top_bigram_frac < 0.3
+        assert m[3].n_words == 0 and m[3].top_bigram_frac == 0.0
+        assert m[4].n_words == 0
+        assert m[5].n_words == 1 and m[5].top_bigram_frac == 0.0
+        # 'a b' occupies 4 of 7 bigrams
+        assert m[6].top_bigram_frac == round(4 / 7, 4)
+
+    def test_decontaminate_flags_twins_only(self, spark):
+        from crawlspark import textops as X
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(0, base),                       # eval doc
+                (1, base + " extra tail words here"),  # shares 8-grams
+                (2, "totally different words with no overlap at all ok")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ev = df.filter(F.col("doc_id") == 0)
+        got = {r.doc_id: (r.n_overlap, r.contaminated)
+               for r in X.decontaminate(df, ev, n=8).collect()}
+        assert got[0][1] and got[1][1] and not got[2][1]
+        assert got[0][0] == 3          # 10 words -> 3 distinct 8-grams
+        assert got[1][0] == 3          # the shared prefix ones
+        assert got[2] == (0, False)
+
+    def test_pii_scrub_order_and_counts(self, spark):
+        from crawlspark import textops as X
+
+        rows = [(1, "mail a.b+c@x-y.example.io then +84-555-1234 at 10.0.3.7"),
+                (2, "ip-like domain user@1.2.3.4 stays one email"),
+                (3, "clean text no pii"), (4, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in X.pii_scrub(df).collect()}
+        assert got[1].clean_text == "mail <EMAIL> then <PHONE> at <IP>"
+        assert got[1].n_pii == 3
+        # a numeric-only domain is NOT an email (the RX requires an
+        # alpha TLD) — the dotted quad falls through to the IP rule
+        assert got[2].clean_text == "ip-like domain user@<IP> stays one email"
+        assert got[2].n_pii == 1
+        assert got[3].n_pii == 0 and got[4].clean_text == ""
