@@ -2,8 +2,11 @@
 
 Closes the multimodal dispatch seam's last NotImplementedError for
 images: `image/jpeg` payloads decode for real. Scope: baseline
-sequential, 8-bit, grayscale or YCbCr 4:4:4, no restart intervals or
-progressive scans (raised explicitly). The encoder emits spec-valid
+sequential, 8-bit, grayscale or YCbCr at any uniform sampling-factor
+layout — 4:4:4, 4:2:0 (the dominant web layout; r4: generic
+interleaved-MCU decode with sample-replication upsampling, and the
+encoder can emit it via subsampling='420'), 4:2:2 — no restart
+intervals or progressive scans (raised explicitly). The encoder emits spec-valid
 JFIF any reader decodes: quant + Huffman tables are EMBEDDED (DQT /
 DHT), so the canonical fixed-length Huffman tables used here (DC: all
 12 symbols at 4 bits; AC: all 162 symbols at 8 bits — both satisfy
@@ -112,11 +115,54 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
-    """HxW (gray) or HxWx3 (RGB) uint8 -> baseline JFIF bytes."""
+def _encode_block(wtr, blk, q, dc, ac, pred: int) -> int:
+    """DCT + quantize + Huffman-code one 8x8 block; returns the new DC
+    predictor."""
+    coef = _D @ (blk - 128.0) @ _DT
+    qz = np.round(coef / q).astype(np.int64).ravel()[_ZZ]
+    size, bits = _magnitude(int(qz[0]) - pred)
+    c, ln = dc[size]
+    wtr.write(c, ln)
+    if size:
+        wtr.write(bits, size)
+    run = 0
+    nz = np.nonzero(qz[1:])[0]
+    last = nz[-1] + 1 if nz.size else 0
+    for i in range(1, last + 1):
+        v = int(qz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac[0xF0]
+            wtr.write(c, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        c, ln = ac[(run << 4) | size]
+        wtr.write(c, ln)
+        wtr.write(bits, size)
+        run = 0
+    if last < 63:
+        c, ln = ac[0x00]
+        wtr.write(c, ln)
+    return int(qz[0])
+
+
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 -> baseline JFIF bytes.
+
+    subsampling: '444' (one block per component per MCU), '420' (the
+    dominant web-JPEG layout: 16x16 MCUs of 4 Y blocks + 1 Cb + 1 Cr,
+    chroma 2x2 box-averaged) or '422' (16x8 MCUs, chroma averaged
+    horizontally). Ignored for grayscale."""
     gray = pixels.ndim == 2
+    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
+    if subsampling not in factors:
+        raise NotImplementedError(f"subsampling {subsampling}")
+    yh, yv = factors[subsampling] if not gray else (1, 1)
+    sub420 = (yh, yv) != (1, 1)
     h, w = pixels.shape[:2]
-    ph, pw = -h % 8, -w % 8
+    ph, pw = -h % (8 * yv), -w % (8 * yh)
     px = np.pad(pixels.astype(np.float64), ((0, ph), (0, pw)) + (() if gray else ((0, 0),)),
                 mode="edge")
     if gray:
@@ -126,46 +172,40 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
         planes = [0.299 * r + 0.587 * g + 0.114 * b,
                   -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
                   0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    if sub420:
+        # chroma yv x yh box average; Y stays full resolution
+        for ci in (1, 2):
+            p = planes[ci]
+            acc = sum(p[v::yv, hh::yh] for v in range(yv)
+                      for hh in range(yh))
+            planes[ci] = acc / (yv * yh)
 
     dc = _canonical_codes(*_DC_SPEC)
     ac = _canonical_codes(*_AC_SPEC)
     wtr = _BitWriter()
     preds = [0, 0, 0]
-    # interleaved MCUs (4:4:4 => one 8x8 block per component per MCU)
-    h8, w8 = px.shape[0] // 8, px.shape[1] // 8
-    for by in range(h8):
-        for bx in range(w8):
-            for ci, plane in enumerate(planes):
-                q = _QL if ci == 0 else _QC
-                blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-                coef = _D @ blk @ _DT
-                qz = np.round(coef / q).astype(np.int64).ravel()[_ZZ]
-                size, bits = _magnitude(int(qz[0]) - preds[ci])
-                preds[ci] = int(qz[0])
-                c, ln = dc[size]
-                wtr.write(c, ln)
-                if size:
-                    wtr.write(bits, size)
-                run = 0
-                nz = np.nonzero(qz[1:])[0]
-                last = nz[-1] + 1 if nz.size else 0
-                for i in range(1, last + 1):
-                    v = int(qz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, ln = ac[0xF0]
-                        wtr.write(c, ln)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    c, ln = ac[(run << 4) | size]
-                    wtr.write(c, ln)
-                    wtr.write(bits, size)
-                    run = 0
-                if last < 63:
-                    c, ln = ac[0x00]
-                    wtr.write(c, ln)
+    if sub420:
+        for my in range(px.shape[0] // (8 * yv)):
+            for mx in range(px.shape[1] // (8 * yh)):
+                for v in range(yv):
+                    for hh in range(yh):
+                        y0 = (my * yv + v) * 8
+                        x0 = (mx * yh + hh) * 8
+                        preds[0] = _encode_block(
+                            wtr, planes[0][y0:y0 + 8, x0:x0 + 8],
+                            _QL, dc, ac, preds[0])
+                for ci in (1, 2):
+                    preds[ci] = _encode_block(
+                        wtr, planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
+                        _QC, dc, ac, preds[ci])
+    else:
+        h8, w8 = px.shape[0] // 8, px.shape[1] // 8
+        for by in range(h8):
+            for bx in range(w8):
+                for ci, plane in enumerate(planes):
+                    preds[ci] = _encode_block(
+                        wtr, plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                        _QL if ci == 0 else _QC, dc, ac, preds[ci])
 
     ncomp = 1 if gray else 3
     out = [b"\xFF\xD8",
@@ -175,7 +215,8 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
         out.append(_seg(0xFFDB, b"\x01" + bytes(_QC.ravel()[_ZZ].astype(np.uint8))))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        samp = (yh << 4) | yv if ci == 0 else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out.append(_seg(0xFFC0, sof))
     for tc_th, (bits, vals) in ((0x00, _DC_SPEC), (0x10, _AC_SPEC)):
         out.append(_seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
@@ -300,9 +341,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError("chroma subsampling (only 4:4:4)")
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq,
+                              "hs": samp >> 4, "vs": samp & 0xF})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential (SOF0)")
@@ -316,36 +356,58 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             scan = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
                     for i in range(ns)}
             r = _BitReader(data[pos:])
-            h8, w8 = -(-h // 8), -(-w // 8)
-            planes = [np.zeros((h8 * 8, w8 * 8)) for _ in comps]
+            # generic interleaved sampling: an MCU spans 8*hmax x 8*vmax
+            # pixels and carries hs x vs blocks per component — covers
+            # 4:4:4 (1,1,1), 4:2:0 (Y=2x2), 4:2:2 (Y=2x1) uniformly
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mx_n = -(-w // (8 * hmax))
+            my_n = -(-h // (8 * vmax))
+            planes = [np.zeros((my_n * 8 * c["vs"], mx_n * 8 * c["hs"]))
+                      for c in comps]
             preds = [0] * len(comps)
-            for by in range(h8):
-                for bx in range(w8):
+            for my in range(my_n):
+                for mx in range(mx_n):
                     for ci, comp in enumerate(comps):
                         td, ta = scan[comp["id"]]
                         dct, act = huff[td], huff[0x10 | ta]
                         q = qt[comp["tq"]]
-                        qz = np.zeros(64, dtype=np.int64)
-                        size = _read_symbol(r, dct)
-                        diff = _extend(r.bits(size), size) if size else 0
-                        preds[ci] += diff
-                        qz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(r, act)
-                            run, size = rs >> 4, rs & 0xF
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            k += run
-                            qz[k] = _extend(r.bits(size), size)
-                            k += 1
-                        coef = np.zeros(64)
-                        coef[_ZZ] = qz * q.ravel()[_ZZ]
-                        blk = _DT @ coef.reshape(8, 8) @ _D + 128.0
-                        planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+                        for v in range(comp["vs"]):
+                            for hh in range(comp["hs"]):
+                                qz = np.zeros(64, dtype=np.int64)
+                                size = _read_symbol(r, dct)
+                                diff = (_extend(r.bits(size), size)
+                                        if size else 0)
+                                preds[ci] += diff
+                                qz[0] = preds[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _read_symbol(r, act)
+                                    run, size = rs >> 4, rs & 0xF
+                                    if rs == 0x00:
+                                        break
+                                    if rs == 0xF0:
+                                        k += 16
+                                        continue
+                                    k += run
+                                    qz[k] = _extend(r.bits(size), size)
+                                    k += 1
+                                coef = np.zeros(64)
+                                coef[_ZZ] = qz * q.ravel()[_ZZ]
+                                blk = _DT @ coef.reshape(8, 8) @ _D + 128.0
+                                y0 = (my * comp["vs"] + v) * 8
+                                x0 = (mx * comp["hs"] + hh) * 8
+                                planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
+            # upsample subsampled components to full resolution
+            # (sample replication — the spec's suggested simple filter)
+            full = []
+            for ci, comp in enumerate(comps):
+                p = planes[ci]
+                if comp["vs"] != vmax or comp["hs"] != hmax:
+                    p = np.repeat(np.repeat(p, vmax // comp["vs"], axis=0),
+                                  hmax // comp["hs"], axis=1)
+                full.append(p)
+            planes = full
             if len(comps) == 1:
                 return np.clip(planes[0][:h, :w].round(), 0, 255).astype(np.uint8)
             y, cb, cr = (p[:h, :w] for p in planes)

@@ -19,9 +19,11 @@ self-contained stdlib+numpy implementations of real formats:
   decoder would keep identical).
 
 - **JPEG (baseline sequential)** — real encoder+decoder in jpegc.py
-  (DCT, canonical Huffman, spec-valid JFIF; 4:4:4 and grayscale).
+  (DCT, canonical Huffman, spec-valid JFIF; grayscale, 4:4:4, and
+  r4: 4:2:0 / 4:2:2 chroma subsampling via the generic
+  interleaved-MCU path).
 
-Anything else (mp3, progressive/subsampled jpeg, ...) raises
+Anything else (mp3, progressive jpeg, ...) raises
 NotImplementedError at the same seam — swapping PIL/torchaudio/pyav in is a per-mime dispatch entry,
 not a pipeline change. Partitioning spreads fat payloads before the
 Python stage; nothing payload-bearing survives past featurization.

@@ -212,6 +212,40 @@ class TestJpeg:
             pos += 2 + ln
         assert 0xC0 in seen and 0xDB in seen and 0xC4 in seen
 
+    def test_420_roundtrip_close(self):
+        """4:2:0 — the dominant web-JPEG layout (r4): generic MCU
+        interleave + chroma upsampling; odd dims pad to the 16x16 MCU
+        and crop back."""
+        from crawlspark.jpegc import decode_jpeg, encode_jpeg
+
+        for h, w in ((32, 32), (24, 33), (13, 19)):
+            img = self._img(h=h, w=w)
+            dec = decode_jpeg(encode_jpeg(img, subsampling="420"))
+            assert dec.shape == img.shape and dec.dtype == np.uint8
+            err = np.abs(dec.astype(float) - img.astype(float)).mean()
+            # chroma halving on a sharp gradient costs more on tiny
+            # images (13x19 measures ~6.3); random noise would be ~85
+            assert err < 8.0, (h, w, err)
+
+    def test_420_stream_declares_422_style_sampling(self):
+        from crawlspark.jpegc import encode_jpeg
+
+        data = encode_jpeg(self._img(), subsampling="420")
+        i = data.index(b"\xff\xc0")
+        # SOF0 component table: Y sampling byte 0x22, chroma 0x11
+        assert data[i + 11] == 0x22 and data[i + 14] == 0x11
+
+    def test_422_roundtrip_close(self):
+        """4:2:2 (Y=2x1): a third sampling layout through the same
+        generic MCU loop — the decoder handles arbitrary uniform
+        factors, not just the two the old code special-cased."""
+        from crawlspark.jpegc import decode_jpeg, encode_jpeg
+
+        img = self._img(h=21, w=30)
+        dec = decode_jpeg(encode_jpeg(img, subsampling="422"))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(float) - img.astype(float)).mean() < 5.0
+
     def test_unsupported_features_raise(self):
         from crawlspark.jpegc import decode_jpeg, encode_jpeg
 
@@ -220,6 +254,8 @@ class TestJpeg:
         data[i + 1] = 0xC2  # pretend progressive
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
+        with pytest.raises(NotImplementedError):
+            encode_jpeg(self._img(), subsampling="411")
 
     def test_dispatch_and_feature_parity_with_png(self):
         """A JPEG of the same image featurizes ~like its PNG (lossy
