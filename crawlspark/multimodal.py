@@ -21,9 +21,10 @@ self-contained stdlib+numpy implementations of real formats:
 - **JPEG (baseline sequential)** — real encoder+decoder in jpegc.py
   (DCT, canonical Huffman, spec-valid JFIF; grayscale, 4:4:4, and
   r4: 4:2:0 / 4:2:2 chroma subsampling via the generic
-  interleaved-MCU path).
+  interleaved-MCU path, and PROGRESSIVE (SOF2) decode with full
+  spectral selection + successive approximation).
 
-Anything else (mp3, progressive jpeg, ...) raises
+Anything else (mp3, ...) raises
 NotImplementedError at the same seam — swapping PIL/torchaudio/pyav in is a per-mime dispatch entry,
 not a pipeline change. Partitioning spreads fat payloads before the
 Python stage; nothing payload-bearing survives past featurization.

@@ -246,12 +246,36 @@ class TestJpeg:
         assert dec.shape == img.shape
         assert np.abs(dec.astype(float) - img.astype(float)).mean() < 5.0
 
+    def test_progressive_bit_identical_to_baseline(self):
+        """SOF2 decode (r4): spectral selection + successive
+        approximation. The progressive stream carries the SAME
+        quantized coefficients as the baseline stream, so the decoded
+        pixels must match BIT FOR BIT — across subsampling layouts,
+        odd dims, grayscale, and a noise channel that densely
+        exercises ZRL/EOB-run/correction-bit paths."""
+        from crawlspark.jpegc import (decode_jpeg, encode_jpeg,
+                                      encode_jpeg_progressive)
+
+        rng = np.random.default_rng(7)
+        cases = [((24, 33), "444"), ((32, 32), "420"), ((17, 19), "420"),
+                 ((21, 30), "422")]
+        for (h, w), sub in cases:
+            noise = rng.integers(0, 256, (h, w))
+            img = self._img(h=h, w=w)
+            img[..., 2] = noise
+            base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+            prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))
+            assert np.array_equal(base, prog), (h, w, sub)
+        g = rng.integers(0, 256, (13, 9)).astype(np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(g)),
+                              decode_jpeg(encode_jpeg_progressive(g)))
+
     def test_unsupported_features_raise(self):
         from crawlspark.jpegc import decode_jpeg, encode_jpeg
 
         data = bytearray(encode_jpeg(self._img()))
         i = data.index(b"\xff\xc0")
-        data[i + 1] = 0xC2  # pretend progressive
+        data[i + 1] = 0xC3  # lossless SOF: genuinely unsupported
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(data))
         with pytest.raises(NotImplementedError):
