@@ -8,7 +8,9 @@ correction bits, the libjpeg scan structure), 8-bit, grayscale or
 YCbCr at any uniform sampling-factor layout — 4:4:4, 4:2:0 (the
 dominant web layout; generic interleaved-MCU decode with
 sample-replication upsampling, and the encoder can emit it via
-subsampling='420'), 4:2:2. No restart intervals (raised explicitly).
+subsampling='420'), 4:2:2, and (baseline) restart intervals —
+DRI/RSTn markers with byte re-alignment and DC-predictor reset, on
+both encode and decode (progressive + restarts stays gated).
 encode_jpeg_progressive exists so the progressive decode paths are
 round-trip-testable without external fixtures: its output decodes
 BIT-IDENTICALLY to the baseline encoding of the same image (same
@@ -116,6 +118,14 @@ class _BitWriter:
             self.write(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
         return bytes(self.buf)
 
+    def restart(self, n: int):
+        """Byte-align (1-padded) and emit RSTn — the marker bytes are
+        written raw: markers are never byte-stuffed."""
+        if self.n:
+            self.write(0x7F, 8 - self.n)
+        self.buf.append(0xFF)
+        self.buf.append(0xD0 + (n & 7))
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(size, value-bits) per the spec's signed magnitude coding."""
@@ -203,13 +213,18 @@ def _plan_blocks(pixels: np.ndarray, subsampling: str):
     return h, w, gray, yh, yv, comps
 
 
-def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """HxW (gray) or HxWx3 (RGB) uint8 -> baseline JFIF bytes.
 
     subsampling: '444' (one block per component per MCU), '420' (the
     dominant web-JPEG layout: 16x16 MCUs of 4 Y blocks + 1 Cb + 1 Cr,
     chroma 2x2 box-averaged) or '422' (16x8 MCUs, chroma averaged
-    horizontally). Ignored for grayscale."""
+    horizontally). Ignored for grayscale.
+
+    restart_interval: emit DRI + an RSTn marker (byte-aligned, DC
+    predictors reset) every N MCUs — the error-resilience feature
+    camera/stream encoders use; 0 disables."""
     gray = pixels.ndim == 2
     factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
     if subsampling not in factors:
@@ -239,6 +254,18 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
     ac = _canonical_codes(*_AC_SPEC)
     wtr = _BitWriter()
     preds = [0, 0, 0]
+    mcu_i = rst_n = 0
+    n_mcus = (px.shape[0] // (8 * yv)) * (px.shape[1] // (8 * yh))
+
+    def maybe_restart():
+        nonlocal mcu_i, rst_n, preds
+        mcu_i += 1
+        if (restart_interval and mcu_i % restart_interval == 0
+                and mcu_i < n_mcus):
+            wtr.restart(rst_n)
+            rst_n = (rst_n + 1) & 7
+            preds = [0, 0, 0]
+
     if sub420:
         for my in range(px.shape[0] // (8 * yv)):
             for mx in range(px.shape[1] // (8 * yh)):
@@ -253,6 +280,7 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
                     preds[ci] = _encode_block(
                         wtr, planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
                         _QC, dc, ac, preds[ci])
+                maybe_restart()
     else:
         h8, w8 = px.shape[0] // 8, px.shape[1] // 8
         for by in range(h8):
@@ -261,6 +289,7 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
                     preds[ci] = _encode_block(
                         wtr, plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
                         _QL if ci == 0 else _QC, dc, ac, preds[ci])
+                maybe_restart()
 
     ncomp = 1 if gray else 3
     out = [b"\xFF\xD8",
@@ -278,6 +307,8 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444") -> bytes:
     if not gray:
         for tc_th, (bits, vals) in ((0x01, _DC_SPEC), (0x11, _AC_SPEC)):
             out.append(_seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+    if restart_interval:
+        out.append(_seg(0xFFDD, struct.pack(">H", restart_interval)))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -535,6 +566,16 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self):
+        """Consume an RSTn marker: drop pad bits, verify, re-align."""
+        self.n = 0
+        while self.d[self.pos] != 0xFF:
+            self.pos += 1
+        m = self.d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RSTn, got 0xFF{m:02X}")
+        self.pos += 2
+
 
 def _huff_decoder(bits: list[int], vals: list[int]):
     """(code,len)->symbol map + max length, for bit-serial decode."""
@@ -726,6 +767,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     h = w = 0
     progressive = False
     store = None  # progressive: per-comp (nby, nbx, 64) zigzag coefs
+    restart_int = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker")
@@ -774,12 +816,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "only baseline (SOF0) / progressive (SOF2)")
         elif marker == 0xDD:
-            (interval,) = struct.unpack(">H", body[:2])
-            if interval:
-                raise NotImplementedError("restart intervals")
-            # DRI=0 disables restarts — spec-valid, nothing to do
+            (restart_int,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             if progressive:
+                if restart_int:
+                    raise NotImplementedError(
+                        "restart intervals in progressive scans")
                 if store is None:
                     hmax = max(c["hs"] for c in comps)
                     vmax = max(c["vs"] for c in comps)
@@ -804,8 +846,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             planes = [np.zeros((my_n * 8 * c["vs"], mx_n * 8 * c["hs"]))
                       for c in comps]
             preds = [0] * len(comps)
+            mcu_i = 0
             for my in range(my_n):
                 for mx in range(mx_n):
+                    if (restart_int and mcu_i
+                            and mcu_i % restart_int == 0):
+                        r.restart()
+                        preds = [0] * len(comps)
+                    mcu_i += 1
                     for ci, comp in enumerate(comps):
                         td, ta = scan[comp["id"]]
                         dct, act = huff[td], huff[0x10 | ta]

@@ -291,3 +291,22 @@ class TestJpeg:
         fj, n = M.decode_and_featurize(encode_jpeg(img), "image", "image/jpeg")
         assert n == 1
         assert max(abs(a - b) for a, b in zip(fp[:6], fj[:6])) < 0.05
+
+    def test_restart_intervals_bit_identical(self):
+        """DRI/RSTn (r4): restart markers byte-align the stream and
+        reset DC predictors but carry the same coefficients — decoded
+        pixels match the restart-free stream bit for bit, at every
+        interval incl. 1 (marker after every MCU)."""
+        from crawlspark.jpegc import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+        ref = decode_jpeg(encode_jpeg(img, subsampling="420"))
+        for dri in (1, 3, 7):
+            got = decode_jpeg(encode_jpeg(img, subsampling="420",
+                                          restart_interval=dri))
+            assert np.array_equal(ref, got), dri
+        # the stream really contains RST markers
+        data = encode_jpeg(img, restart_interval=2)
+        assert any(data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+                   for i in range(2, len(data) - 2))
