@@ -1511,6 +1511,110 @@ FROM aug ORDER BY doc_id
 """
 
 
+def q_corpus_filter(spark, sf):
+    """The composed training-data admission pipeline (RefinedWeb/
+    Gopher shape): every document gets a keep/drop verdict plus the
+    sorted list of violated rules —
+
+      short/long    n_words outside [10, 10000]
+      repetitive    distinct_ratio < 0.2 OR top_bigram_frac > 0.5
+      exact_dup     md5-identical to a lower-doc_id document
+      contaminated  shares a word 8-gram with the held-out eval set
+                    (doc_id % 97 == 0), eval docs themselves exempt
+
+    One pass composes repetition_metrics + exact-dup groups +
+    decontaminate; each input is the already-scaling operator, joined
+    back on doc_id (broadcast-sized at bench scale, partial-agg'd at
+    100 TB)."""
+    docs = _t(spark, sf, "documents")
+    rep = X.repetition_metrics(docs)
+    # exact-dup losers: every doc whose md5 equals a smaller doc_id's
+    hashes = docs.select("doc_id", F.md5(F.col("text")).alias("_h"))
+    keep_ids = hashes.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+    losers = (hashes.join(keep_ids, "_h")
+              .filter(F.col("doc_id") != F.col("_keep"))
+              .select("doc_id").withColumn("_dup", F.lit(True)))
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    cont = (X.decontaminate(docs, eval_df, n=8)
+            .select("doc_id", "contaminated"))
+    j = (rep.withColumnRenamed("doc_id", "doc_id")
+         .join(losers, "doc_id", "left")
+         .join(cont, "doc_id", "left"))
+    is_eval = F.col("doc_id") % 97 == 0
+    reasons = F.array_compact(F.array(
+        F.when((F.col("n_words") < 10) | (F.col("n_words") > 10000),
+               F.lit("length")),
+        F.when((F.col("distinct_ratio") < 0.2)
+               | (F.col("top_bigram_frac") > 0.5), F.lit("repetitive")),
+        F.when(F.coalesce(F.col("_dup"), F.lit(False)), F.lit("exact_dup")),
+        F.when(F.coalesce(F.col("contaminated"), F.lit(False)) & ~is_eval,
+               F.lit("contaminated"))))
+    return (j.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     (F.size(reasons) == 0).alias("keep"),
+                     F.array_join(F.array_sort(reasons), ",")
+                     .alias("reject_reasons"))
+            .orderBy("doc_id"))
+
+
+SQL_CORPUS_FILTER = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ws
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), w AS (
+  SELECT doc_id, ws[i] AS w FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks)
+), bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g FROM (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM toks)
+), words AS (
+  SELECT doc_id, count(*) AS n_words,
+         round(count(DISTINCT w)::DOUBLE / count(*), 4) AS distinct_ratio
+  FROM w GROUP BY doc_id
+), b2 AS (
+  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id
+), losers AS (
+  SELECT doc_id, TRUE AS _dup FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS _keep
+    FROM documents) WHERE doc_id != _keep
+), g8 AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+         || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+         || ' ' || ws[i+7] AS g
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        FROM toks)
+), eval8 AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 97 = 0
+), cont AS (
+  SELECT DISTINCT g8.doc_id, TRUE AS contaminated
+  FROM g8 JOIN eval8 USING (g)
+), sig AS (
+  SELECT d.doc_id,
+         coalesce(n_words, 0) AS n_words,
+         coalesce(distinct_ratio, 0.0) AS distinct_ratio,
+         coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+         coalesce(_dup, FALSE) AS _dup,
+         coalesce(contaminated, FALSE) AND d.doc_id % 97 != 0 AS _cont
+  FROM documents d LEFT JOIN words USING (doc_id)
+  LEFT JOIN b2 USING (doc_id) LEFT JOIN losers USING (doc_id)
+  LEFT JOIN cont USING (doc_id)
+), verdict AS (
+  SELECT doc_id,
+         list_sort(list_filter([
+           CASE WHEN n_words < 10 OR n_words > 10000 THEN 'length' END,
+           CASE WHEN distinct_ratio < 0.2 OR top_bigram_frac > 0.5
+                THEN 'repetitive' END,
+           CASE WHEN _dup THEN 'exact_dup' END,
+           CASE WHEN _cont THEN 'contaminated' END
+         ], x -> x IS NOT NULL)) AS rs
+  FROM sig
+)
+SELECT doc_id::BIGINT AS doc_id, len(rs) = 0 AS keep,
+       coalesce(array_to_string(rs, ','), '') AS reject_reasons
+FROM verdict ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -1541,6 +1645,7 @@ QUERIES = {
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "corpus_filter": (q_corpus_filter, SQL_CORPUS_FILTER),
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "doc_tokens": (q_doc_tokens, SQL_DOC_TOKENS),

@@ -57,3 +57,33 @@ def test_rows_only(name, spark):
     df = fn(spark, SF)
     assert df.count() > 0
     assert len(df.columns) >= 2
+
+
+def test_corpus_filter_rules_fire(spark, tmp_path):
+    """The composed admission pipeline on a crafted corpus: each rule
+    rejects its target and reasons accumulate sorted."""
+    from crawlspark.queries import QUERIES
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (0, base),                       # eval doc (0 % 97 == 0): keep
+        (1, base + " extra tail"),       # shares 8-grams: contaminated
+        (2, "one two three"),           # length only (distinct bigrams)
+        (3, "spam " * 40),               # repetitive (+ length passes)
+        (4, base),                       # exact dup of doc 0 + contaminated
+        (5, "a perfectly fine unique document with plenty of distinct words here today"),
+    ]
+    import pandas as pd
+    (spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])
+                           .assign(lang="en", source="t",
+                                   n_chars=lambda d: d.text.str.len()))
+     .write.parquet(str(tmp_path / "documents.parquet")))
+    got = {r.doc_id: (r.keep, r.reject_reasons)
+           for r in QUERIES["corpus_filter"][0](spark, str(tmp_path)).collect()}
+    assert got[0] == (True, "")
+    assert got[1] == (False, "contaminated")
+    assert got[2] == (False, "length")
+    assert got[3] == (False, "repetitive")
+    assert got[4] == (False, "contaminated,exact_dup")
+    assert got[5] == (True, "")
