@@ -441,7 +441,14 @@ def simhash64_frame(df: DataFrame, text_col: str = "text",
     for i in range(63):
         sh = sh + (F.when(F.col(f"_o{i}") * 2 > two_n, F.lit(1 << i))
                    .otherwise(F.lit(0)))
-    return agg.select("key", sh.alias("sh"))
+    hashes = agg.select("key", sh.alias("sh"))
+    # join back so output multiplicity matches the input (the grouped
+    # form alone would collapse rows sharing a key). Duplicate keys
+    # with IDENTICAL text still hash correctly (doubled votes keep the
+    # same signs); duplicate keys with DIFFERENT texts merge their
+    # votes into a hash of neither — key_col is expected unique per
+    # document, as in every caller.
+    return df.select(F.col(key_col).alias("key")).join(hashes, "key")
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",

@@ -138,11 +138,10 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
 
-def _encode_block(wtr, blk, q, dc, ac, pred: int) -> int:
-    """DCT + quantize + Huffman-code one 8x8 block; returns the new DC
+def _encode_block_coef(wtr, qz, dc, ac, pred: int) -> int:
+    """Huffman-code one precomputed zigzag-order quantized block
+    (sequential DC-diff + AC run-length); returns the new DC
     predictor."""
-    coef = _D @ (blk - 128.0) @ _DT
-    qz = np.round(coef / q).astype(np.int64).ravel()[_ZZ]
     size, bits = _magnitude(int(qz[0]) - pred)
     c, ln = dc[size]
     wtr.write(c, ln)
@@ -225,73 +224,30 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
     restart_interval: emit DRI + an RSTn marker (byte-aligned, DC
     predictors reset) every N MCUs — the error-resilience feature
     camera/stream encoders use; 0 disables."""
-    gray = pixels.ndim == 2
-    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
-    if subsampling not in factors:
-        raise NotImplementedError(f"subsampling {subsampling}")
-    yh, yv = factors[subsampling] if not gray else (1, 1)
-    sub420 = (yh, yv) != (1, 1)
-    h, w = pixels.shape[:2]
-    ph, pw = -h % (8 * yv), -w % (8 * yh)
-    px = np.pad(pixels.astype(np.float64), ((0, ph), (0, pw)) + (() if gray else ((0, 0),)),
-                mode="edge")
-    if gray:
-        planes = [px]
-    else:
-        r, g, b = px[..., 0], px[..., 1], px[..., 2]
-        planes = [0.299 * r + 0.587 * g + 0.114 * b,
-                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
-    if sub420:
-        # chroma yv x yh box average; Y stays full resolution
-        for ci in (1, 2):
-            p = planes[ci]
-            acc = sum(p[v::yv, hh::yh] for v in range(yv)
-                      for hh in range(yh))
-            planes[ci] = acc / (yv * yh)
-
+    h, w, gray, yh, yv, comps = _plan_blocks(pixels, subsampling)
     dc = _canonical_codes(*_DC_SPEC)
     ac = _canonical_codes(*_AC_SPEC)
     wtr = _BitWriter()
+    ncomp = 1 if gray else 3
+    samp_of = [(yh, yv) if ci == 0 else (1, 1) for ci in range(ncomp)]
+    mxn = comps[0]["coef"].shape[1] // yh
+    myn = comps[0]["coef"].shape[0] // yv
     preds = [0, 0, 0]
-    mcu_i = rst_n = 0
-    n_mcus = (px.shape[0] // (8 * yv)) * (px.shape[1] // (8 * yh))
-
-    def maybe_restart():
-        nonlocal mcu_i, rst_n, preds
-        mcu_i += 1
-        if (restart_interval and mcu_i % restart_interval == 0
-                and mcu_i < n_mcus):
+    rst_n = 0
+    for mcu_i in range(myn * mxn):
+        my, mx = divmod(mcu_i, mxn)
+        for ci in range(ncomp):
+            hs, vs = samp_of[ci]
+            for v in range(vs):
+                for hh in range(hs):
+                    preds[ci] = _encode_block_coef(
+                        wtr, comps[ci]["coef"][my * vs + v, mx * hs + hh],
+                        dc, ac, preds[ci])
+        if (restart_interval and (mcu_i + 1) % restart_interval == 0
+                and mcu_i + 1 < myn * mxn):
             wtr.restart(rst_n)
             rst_n = (rst_n + 1) & 7
             preds = [0, 0, 0]
-
-    if sub420:
-        for my in range(px.shape[0] // (8 * yv)):
-            for mx in range(px.shape[1] // (8 * yh)):
-                for v in range(yv):
-                    for hh in range(yh):
-                        y0 = (my * yv + v) * 8
-                        x0 = (mx * yh + hh) * 8
-                        preds[0] = _encode_block(
-                            wtr, planes[0][y0:y0 + 8, x0:x0 + 8],
-                            _QL, dc, ac, preds[0])
-                for ci in (1, 2):
-                    preds[ci] = _encode_block(
-                        wtr, planes[ci][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
-                        _QC, dc, ac, preds[ci])
-                maybe_restart()
-    else:
-        h8, w8 = px.shape[0] // 8, px.shape[1] // 8
-        for by in range(h8):
-            for bx in range(w8):
-                for ci, plane in enumerate(planes):
-                    preds[ci] = _encode_block(
-                        wtr, plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
-                        _QL if ci == 0 else _QC, dc, ac, preds[ci])
-                maybe_restart()
-
-    ncomp = 1 if gray else 3
     out = [b"\xFF\xD8",
            _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
     out.append(_seg(0xFFDB, b"\x00" + bytes(_QL.ravel()[_ZZ].astype(np.uint8))))
@@ -553,8 +509,11 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1
                 else:
-                    raise NotImplementedError(f"marker 0xFF{nxt:02X} in scan "
-                                              "(restart intervals unsupported)")
+                    # a marker mid-symbol = the stream is truncated or
+                    # the decoder lost alignment (e.g. an RSTn where
+                    # none was expected)
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in entropy data")
             self.acc = b
             self.n = 8
         self.n -= 1
@@ -796,21 +755,27 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[p + 17:p + 17 + nv])
                 huff[tc_th] = _huff_decoder(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "tq": tq,
                               "hs": samp >> 4, "vs": samp & 0xF})
-        elif marker == 0xC2:
-            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            comps = []
-            for i in range(nc):
-                cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "tq": tq,
-                              "hs": samp >> 4, "vs": samp & 0xF})
-            progressive = True
+            # the generic MCU/upsample path assumes every factor
+            # divides the max (true of 4:4:4/4:2:0/4:2:2/4:1:1 and
+            # every layout JFIF writers emit); gate the exotic
+            # non-dividing layouts (e.g. Y=3x1) explicitly rather than
+            # crashing later with an unrelated shape error
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            for c in comps:
+                if (c["hs"] <= 0 or c["vs"] <= 0 or hmax % c["hs"]
+                        or vmax % c["vs"]):
+                    raise NotImplementedError(
+                        f"non-dividing sampling factors "
+                        f"{c['hs']}x{c['vs']} (max {hmax}x{vmax})")
+            progressive = marker == 0xC2
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(

@@ -96,11 +96,12 @@ def schedule(frontier: DataFrame, robots: DataFrame, wave_start,
     Equivalence contract (test-pinned): scheduled rows, their slots
     and scheduled_ts, and the deferred/disallowed row SETS are
     identical to the single-window form. The two forms differ only in
-    the slot value carried by deferred rows (global rank in the
-    single-window form, -1 here — no consumer reads it; the wave
-    driver drops slot for every non-scheduled row). The single-window
-    form stays the default: closed-world backlogs are wave-bounded and
-    skip one shuffle.
+    what DEFERRED rows carry: the single-window form gives them their
+    global slot and a scheduled_ts, this form gives slot = -1 and a
+    NULL scheduled_ts — no consumer reads either (the wave driver
+    drops both columns for every non-scheduled row). The
+    single-window form stays the default: closed-world backlogs are
+    wave-bounded and skip one shuffle.
     """
     fr = join_robots(frontier, robots)
     keep_cols = [f.name for f in frontier.schema.fields if f.name != "state"]

@@ -1323,12 +1323,17 @@ def q_ann_ivf(spark, sf):
             .select(F.col("vec_id").cast("long").alias("vec_id"), "cosine")
             .collect())
     top10 = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-    assert sorted((r["vec_id"], r["cosine"]) for r in full) == sorted(top10), \
-        "ann_ivf: full probe != brute force top-10"
-    for r in out.collect():
-        assert r["vec_id"] in ref and ref[r["vec_id"]] == r["cosine"], \
-            f"ann_ivf containment violated for vec_id={r['vec_id']}"
-    return out
+    # explicit raises, not assert: the contract must survive python -O
+    if sorted((r["vec_id"], r["cosine"]) for r in full) != sorted(top10):
+        raise RuntimeError("ann_ivf: full probe != brute force top-10")
+    rows = out.collect()
+    for r in rows:
+        if r["vec_id"] not in ref or ref[r["vec_id"]] != r["cosine"]:
+            raise RuntimeError(
+                f"ann_ivf containment violated for vec_id={r['vec_id']}")
+    # the probe already ran for verification — hand the caller the
+    # collected rows instead of recomputing the whole query
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_ann_lsh(spark, sf):
@@ -1528,8 +1533,12 @@ def q_corpus_filter(spark, sf):
     100 TB)."""
     docs = _t(spark, sf, "documents")
     rep = X.repetition_metrics(docs)
-    # exact-dup losers: every doc whose md5 equals a smaller doc_id's
-    hashes = docs.select("doc_id", F.md5(F.col("text")).alias("_h"))
+    # exact-dup losers: every doc whose md5 equals a smaller doc_id's.
+    # NULL text hashes as '' so null-text duplicates group (a bare
+    # md5(text) join would drop NULL keys while the oracle's window
+    # PARTITION BY groups them — engines must agree)
+    hashes = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_h"))
     keep_ids = hashes.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
     losers = (hashes.join(keep_ids, "_h")
               .filter(F.col("doc_id") != F.col("_keep"))
@@ -1575,7 +1584,8 @@ WITH toks AS (
   FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id
 ), losers AS (
   SELECT doc_id, TRUE AS _dup FROM (
-    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS _keep
+    SELECT doc_id, min(doc_id)
+             OVER (PARTITION BY md5(coalesce(text, ''))) AS _keep
     FROM documents) WHERE doc_id != _keep
 ), g8 AS (
   SELECT DISTINCT doc_id,

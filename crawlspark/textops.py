@@ -108,8 +108,9 @@ def quality_score(text: Column) -> Column:
 # ---------------------------------------------------------------------------
 # Shingles / fingerprints
 # ---------------------------------------------------------------------------
-def word_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-grams (space-joined), [] when fewer than n tokens.
+def ngrams_all(text: Column, n: int) -> Column:
+    """Word n-grams WITH repeats (space-joined), [] when fewer than n
+    tokens — the counting form repetition metrics need.
 
     The short-doc case must be CASE-gated, not clamped: sequence(1, 0)
     is a DESCENDING [1, 0] in Spark, and slice(_, 0, n) throws — a
@@ -118,9 +119,15 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     toks = tokens_expr(text)
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), cnt - (n - 1))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return (F.when(cnt >= n, F.array_distinct(sh))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (F.when(cnt >= n, grams)
             .otherwise(F.array().cast("array<string>")))
+
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-grams (space-joined), [] when fewer than n
+    tokens — the set form dedup/decontamination need."""
+    return F.array_distinct(ngrams_all(text, n))
 
 
 def doc_fingerprint(text: Column, k: int = 8) -> Column:
@@ -586,18 +593,6 @@ def ann_topk_ivf(spark, path: str, query: list[float], k: int = 10,
 # ---------------------------------------------------------------------------
 # Corpus-hygiene operators (round 4): repetition, decontamination, PII
 # ---------------------------------------------------------------------------
-def ngrams_all(text: Column, n: int) -> Column:
-    """Word n-grams WITH repeats (space-joined) — unlike word_shingles
-    this keeps duplicates, because repetition metrics need counts.
-    CASE-gated for short docs (see word_shingles)."""
-    toks = tokens_expr(text)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), cnt - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return (F.when(cnt >= n, grams)
-            .otherwise(F.array().cast("array<string>")))
-
-
 def repetition_metrics(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id") -> DataFrame:
     """Gopher/RefinedWeb-style repetition signals per document:

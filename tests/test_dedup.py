@@ -329,3 +329,20 @@ class TestClassifyForms:
                                              broadcast=bc).collect())
             assert got == [("1", "100", "UNCHANGED"), ("1", "999", "UPDATED"),
                            ("2", "200", "UNCHANGED"), ("3", "x", "NEW")], bc
+
+
+class TestSimhashMultiplicity:
+    def test_duplicate_keys_keep_row_multiplicity(self, spark):
+        """Review r4: the grouped JVM form must not collapse rows
+        sharing a key — output multiplicity matches the input, and
+        identical-text duplicates still hash correctly (doubled votes
+        keep the same signs)."""
+        rows = [("u1", "alpha beta gamma"), ("u1", "alpha beta gamma"),
+                ("u2", "other words here")]
+        df = spark.createDataFrame(rows, "url string, text string")
+        out = D.simhash64_frame(df, "text", "url").collect()
+        assert len(out) == 3
+        hashes = sorted((r["key"], r["sh"]) for r in out)
+        expected = D.simhash64_py("alpha beta gamma")
+        assert hashes[0] == ("u1", expected) and hashes[1] == ("u1", expected)
+        assert hashes[2][0] == "u2"

@@ -87,3 +87,24 @@ def test_corpus_filter_rules_fire(spark, tmp_path):
     assert got[3] == (False, "repetitive")
     assert got[4] == (False, "contaminated,exact_dup")
     assert got[5] == (True, "")
+
+
+def test_corpus_filter_null_text_dups_grouped(spark, tmp_path):
+    """Review r4: NULL-text documents must group as exact dups in BOTH
+    engines (a bare md5 equi-join drops NULL keys; the hash coalesces
+    to '')."""
+    import pandas as pd
+
+    from crawlspark.queries import QUERIES
+
+    ok = "plenty of distinct words in this one fine document right here ok"
+    rows = [(0, ok), (5, None), (9, None)]
+    (spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])
+                           .assign(lang="en", source="t", n_chars=0))
+     .write.parquet(str(tmp_path / "documents.parquet")))
+    got = {r.doc_id: (r.keep, r.reject_reasons)
+           for r in QUERIES["corpus_filter"][0](spark, str(tmp_path)).collect()}
+    assert got[0] == (True, "")
+    # empty docs trip length AND the 0.0 distinct-ratio rule
+    assert got[5] == (False, "length,repetitive")  # the kept null twin
+    assert got[9] == (False, "exact_dup,length,repetitive")  # doc 5's twin
