@@ -382,73 +382,76 @@ def simhash_udf():
     return _simhash_udf
 
 
-def simhash64_frame(df: DataFrame, text_col: str = "text",
-                    key_col: str = "url") -> DataFrame:
-    """(key, sh): the SAME md5 bit-vote simhash as simhash64_py, fully
-    JVM-side — the last per-row Python hot loop in the engine, removed.
-    The DuckDB oracle (queries.SQL_DOC_SIMHASH) already proved the
-    bit-vote is expressible relationally; this is that exact plan in
-    Spark built-ins:
+def simhash64_expr(text_col) -> "F.Column":
+    """Per-ROW md5 bit-vote simhash as one JVM Column expression —
+    bit-for-bit equal to simhash64_py (pinned in tests/test_dedup.py
+    and by the DuckDB oracle queries.SQL_DOC_SIMHASH).
 
-      explode tokens -> md5 -> two 32-bit halves via conv(hex,16,10)
-      (dodges unsigned-64 overflow; ANSI mode) -> 64 bit-vote SUM
-      aggregates (map-side combined) -> sign bits reassembled into a
-      signed long (bit 63 contributes LONG_MIN).
+    Shape: tokenize -> transform(md5) -> fold a 64-long bit-counter
+    array (aggregate + zip_with over each token's little-endian binary
+    string) -> sign bits reassembled into a signed long (bit 63
+    contributes LONG_MIN; ties vote 0, as votes>0 in the pUDF).
 
-    MEASURED (sf0.1, 5k docs / 256k tokens, local[32], warm): this
-    form 1.2 s vs 7.9 s for the round-3 single-task pUDF — but the
-    SAME pUDF on a fanned-out input runs 0.12 s: hashlib.md5 is
-    C-backed, so the "per-row Python loop" was never interpreter-bound
-    and the explode+wide-agg here pays a 256k-row shuffle the pUDF
-    avoids entirely. The JVM form stays the default for its plan
-    properties (no Python workers, no Arrow channel, pure codegen —
-    the properties that matter on a shared 1000-executor cluster);
-    simhash_udf remains for callers who want the measured-faster
-    local path.
+    Why a higher-order-function projection and not the round-4
+    explode + 64-sum groupBy (measured anti-result, sf0.1 5k docs /
+    256k tokens, local[32]): the 65-buffer HashAggregate generated a
+    huge Janino compile — COLD 9.1 s vs 2.3 s warm, and the driver
+    always times queries cold — and needed a key shuffle plus a
+    multiplicity join-back. This form is a narrow projection: no
+    shuffle, no Python stage, tiny codegen (HOF lambdas evaluate as
+    interpreted expressions inside the stage), and measured 2.2 s
+    cold / 1.1 s warm on the same input. It also composes anywhere a
+    Column does (streaming projections, withColumn chains) with no
+    aggregation state.
 
-    Parity notes vs the pUDF (kept as cross-checked fallback):
+    Implementation notes:
+    - conv(hex16, 16, 2) treats the 16-hex-char token hash as
+      UNSIGNED 64-bit (Spark conv semantics), so no signed-overflow
+      split into hi/lo halves is needed.
+    - split(reversed_bits, "") yields a trailing "" element in Spark;
+      slice(..., 1, 64) pins exactly 64 chars — zip_with would
+      otherwise null-pad the 64-counter accumulator and poison sums.
     - tokenize = split(lower(text), '\\s+') with empties filtered;
       Python str.split() splits on Unicode whitespace, Java regex \\s
       is ASCII-only — identical on the ASCII corpus and both test- and
       oracle-pinned.
-    - empty/null text: explode_outer emits one null-token row whose
-      votes are all -1 (null CASE condition takes the ELSE branch), so
-      every sign bit is 0 and sh = 0, matching simhash64_py('') == 0.
+    - empty/null text: zero tokens -> all counters 0, n = 0, so every
+      sign bit is 0 and sh = 0, matching simhash64_py('') == 0.
+    - 2^i for i <= 62 via pow(2.0, i).cast(long): exact (powers of
+      two are exact doubles); computed once per DOC, not per token.
     """
-    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    txt = F.lower(F.coalesce(text_col, F.lit("")))
     toks = F.filter(F.split(txt, r"\s+"), lambda x: x != F.lit(""))
-    h = F.md5(F.col("_tok"))
-    rows = (df.select(F.col(key_col).alias("key"),
-                      F.explode_outer(toks).alias("_tok"))
-            .select("key",
-                    F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-                    .alias("_hi"),
-                    F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
-                    .alias("_lo")))
-    # vote_i = 2*ones_i - n, so sign(vote_i) needs only the raw bit
-    # sums (no per-row CASE): bit set iff 2*ones_i > n. Ties (vote=0)
-    # give bit 0, same as the pUDF's votes>0. Empty docs: n=0 and
-    # ones_i NULL, the > comparison is NULL -> otherwise(0) -> sh=0.
-    ones = [
-        F.sum(F.shiftright(F.col("_lo" if i < 32 else "_hi"), i % 32)
-              .bitwiseAND(F.lit(1))).alias(f"_o{i}")
-        for i in range(64)
-    ]
-    agg = rows.groupBy("key").agg(F.count("_lo").alias("_n"), *ones)
-    two_n = F.col("_n")
-    sh = (F.when(F.col("_o63") * 2 > two_n, F.lit(-(1 << 63)))
-          .otherwise(F.lit(0)))
-    for i in range(63):
-        sh = sh + (F.when(F.col(f"_o{i}") * 2 > two_n, F.lit(1 << i))
-                   .otherwise(F.lit(0)))
-    hashes = agg.select("key", sh.alias("sh"))
-    # join back so output multiplicity matches the input (the grouped
-    # form alone would collapse rows sharing a key). Duplicate keys
-    # with IDENTICAL text still hash correctly (doubled votes keep the
-    # same signs); duplicate keys with DIFFERENT texts merge their
-    # votes into a hash of neither — key_col is expected unique per
-    # document, as in every caller.
-    return df.select(F.col(key_col).alias("key")).join(hashes, "key")
+    md5s = F.transform(toks, lambda t: F.md5(t))
+    bits_of = lambda h: F.slice(
+        F.split(F.reverse(F.lpad(F.conv(F.substring(h, 1, 16), 16, 2),
+                                 64, "0")), ""), 1, 64)
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    ones = F.aggregate(
+        md5s, zero,
+        lambda acc, h: F.zip_with(acc, bits_of(h),
+                                  lambda a, c: a + F.when(c == "1", 1)
+                                  .otherwise(0)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.lit(63))
+    terms = F.zip_with(ones, idx, lambda o, i:
+                       F.when(o * 2 > n,
+                              F.when(i == 63, F.lit(-(1 << 63)).cast("long"))
+                              .otherwise(F.pow(F.lit(2.0), i.cast("double"))
+                                         .cast("long")))
+                       .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def simhash64_frame(df: DataFrame, text_col: str = "text",
+                    key_col: str = "url") -> DataFrame:
+    """(key, sh) via simhash64_expr — a pure zero-shuffle projection,
+    so input multiplicity is preserved natively (every row hashes its
+    own text; no grouped collapse, no join-back). simhash_udf remains
+    the cross-checked Python twin (C-backed md5 — measured faster on a
+    single node, but it puts an Arrow/Python stage in the plan)."""
+    return df.select(F.col(key_col).alias("key"),
+                     simhash64_expr(F.col(text_col)).alias("sh"))
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
