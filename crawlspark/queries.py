@@ -1598,16 +1598,19 @@ def q_corpus_filter(spark, sf):
     decontaminate; each input is the already-scaling operator, joined
     back on doc_id (broadcast-sized at bench scale, partial-agg'd at
     100 TB)."""
+    from pyspark.sql.window import Window
+
     docs = _t(spark, sf, "documents")
-    rep = X.repetition_metrics(docs)
-    # exact-dup losers: every doc whose md5 equals a smaller doc_id's.
-    # NULL text hashes as '' so null-text duplicates group (a bare
-    # md5(text) join would drop NULL keys while the oracle's window
-    # PARTITION BY groups them — engines must agree)
-    hashes = docs.select(
-        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_h"))
-    keep_ids = hashes.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
-    losers = (hashes.join(keep_ids, "_h")
+    # only the bigram gate is consulted — skip the trigram branch
+    rep = X.repetition_metrics(docs, include_trigram=False)
+    # exact-dup losers: every doc whose md5 equals a smaller doc_id's —
+    # one window shuffle on the hash (the r4 groupBy+join-back paid a
+    # second exchange for the same answer). NULL text hashes as '' so
+    # null-text duplicates group (a bare md5(text) join would drop NULL
+    # keys while the oracle's window PARTITION BY groups them)
+    wh = Window.partitionBy(F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    losers = (docs.select("doc_id",
+                          F.min("doc_id").over(wh).alias("_keep"))
               .filter(F.col("doc_id") != F.col("_keep"))
               .select("doc_id").withColumn("_dup", F.lit(True)))
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)

@@ -593,8 +593,29 @@ def ann_topk_ivf(spark, path: str, query: list[float], k: int = 10,
 # ---------------------------------------------------------------------------
 # Corpus-hygiene operators (round 4): repetition, decontamination, PII
 # ---------------------------------------------------------------------------
+def _top_gram_frac(grams: Column) -> Column:
+    """Fraction of all n-grams taken by the single most frequent one,
+    per ROW: sort the gram array, fold for the longest run of equal
+    adjacent elements. No explode, no shuffle, no join."""
+    s = F.array_sort(grams)
+    m = F.size(s)
+    run = lambda acc, g: (F.when(g == acc["prev"], acc["run"] + 1)
+                          .otherwise(F.lit(1).cast("long")))
+    best = F.aggregate(
+        s,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        lambda acc, g: F.struct(g.alias("prev"), run(acc, g).alias("run"),
+                                F.greatest(acc["best"], run(acc, g))
+                                .alias("best")),
+        lambda acc: acc["best"])
+    return F.when(m > 0, F.round(best / m, 4)).otherwise(F.lit(0.0))
+
+
 def repetition_metrics(df: DataFrame, text_col: str = "text",
-                       key_col: str = "doc_id") -> DataFrame:
+                       key_col: str = "doc_id",
+                       include_trigram: bool = True) -> DataFrame:
     """Gopher/RefinedWeb-style repetition signals per document:
 
       n_words        whitespace token count
@@ -604,49 +625,74 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
                      frequent n-gram — the classic boilerplate /
                      degenerate-generation detector
 
-    Shape: one explode per n-gram order -> count per (doc, gram) ->
-    max/sum per doc (all partial-agg'd map-side). Scales: nothing
-    wider than the token explosion ever shuffles, and the per-doc
-    reduction is two grouped aggregates. Docs with no qualifying
-    n-grams get 0.0 (not null) so downstream filters stay total."""
-    def top_frac(n, name):
-        grams = df.select(F.col(key_col),
-                          F.explode(ngrams_all(F.col(text_col), n))
-                          .alias("g"))
-        per = grams.groupBy(key_col, "g").agg(F.count("*").alias("c"))
-        return (per.groupBy(key_col)
-                .agg(F.round(F.max("c") / F.sum("c"), 4).alias(name)))
+    Shape (r5): every metric is per-document, so the whole operator is
+    ONE zero-shuffle projection — gram arrays sorted per row, the top
+    gram found as the longest equal-adjacent run (_top_gram_frac).
+    The round-4 form exploded each n-gram order and paid a
+    (doc, gram) shuffle + grouped aggregate + join-back PER ORDER,
+    moving every token across the wire three times for what one
+    map-side pass computes; measured 2.4 -> 1.1 s warm at sf0.1 and
+    the cold Janino bill of three aggregate stages is gone. Trade-off,
+    stated: one pathological row (a single 100M-token doc) now sorts
+    in one task where the grouped form spread its grams — web corpora
+    are page-size-bounded upstream, and the grouped form remains in
+    git history if an unbounded-doc source ever needs it. Docs with no
+    qualifying n-grams get 0.0 (not null) so downstream filters stay
+    total. Oracle (queries.SQL_DOC_REPETITION) unchanged — the DuckDB
+    replay still counts via unnest, pinning both shapes equal."""
+    # STAGE the token/gram arrays as named columns: expression trees
+    # get no CSE across references (measured round 3: an unstaged form
+    # re-tokenized per reference, 8x), and SPARK-36718 keeps a
+    # multi-referenced non-cheap alias staged instead of re-inlining
+    def grams_of(n):
+        cnt = F.size(F.col("_toks"))
+        g = F.transform(F.sequence(F.lit(1), cnt - (n - 1)),
+                        lambda i: F.concat_ws(" ",
+                                              F.slice(F.col("_toks"), i, n)))
+        return F.when(cnt >= n, g).otherwise(F.array().cast("array<string>"))
 
-    toks = df.select(F.col(key_col),
-                     F.explode(ngrams_all(F.col(text_col), 1)).alias("w"))
-    words = (toks.groupBy(key_col)
-             .agg(F.count("*").alias("n_words"),
-                  F.round(F.count_distinct("w") / F.count("*"), 4)
-                  .alias("distinct_ratio")))
-    out = (df.select(key_col)
-           .join(words, key_col, "left")
-           .join(top_frac(2, "top_bigram_frac"), key_col, "left")
-           .join(top_frac(3, "top_trigram_frac"), key_col, "left"))
-    return out.select(
-        key_col,
-        F.coalesce("n_words", F.lit(0)).alias("n_words"),
-        F.coalesce("distinct_ratio", F.lit(0.0)).alias("distinct_ratio"),
-        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-        F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"))
+    staged = df.select(F.col(key_col), tokens_expr(F.col(text_col))
+                       .alias("_toks"))
+    mids = [F.col(key_col), F.col("_toks"), grams_of(2).alias("_w2")]
+    if include_trigram:
+        mids.append(grams_of(3).alias("_w3"))
+    staged = staged.select(*mids)
+    nw = F.size(F.col("_toks"))
+    cols = [
+        F.col(key_col),
+        nw.cast("long").alias("n_words"),
+        F.when(nw > 0, F.round(F.size(F.array_distinct("_toks")) / nw, 4))
+        .otherwise(F.lit(0.0)).alias("distinct_ratio"),
+        _top_gram_frac(F.col("_w2")).alias("top_bigram_frac")]
+    # callers that only gate on bigrams (corpus_filter) skip the
+    # trigram column entirely
+    if include_trigram:
+        cols.append(_top_gram_frac(F.col("_w3")).alias("top_trigram_frac"))
+    return staged.select(*cols)
 
 
 def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 8,
-                  text_col: str = "text",
-                  key_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", key_col: str = "doc_id",
+                  broadcast_limit_tokens: int = 2_000_000) -> DataFrame:
     """Train/test decontamination: flag documents sharing >=1 distinct
     word n-gram (default 8 — the common eval-overlap window) with any
     document of the held-out eval set.
 
     Shape: distinct n-grams per side (word_shingles is distinct),
-    exploded; the EVAL side is the small one and broadcasts into the
-    semi-ish inner join, so the corpus side never shuffles; per-doc
-    overlap count is one grouped aggregate. At 100 TB the eval set
-    stays benchmark-sized (thousands of docs) — the broadcast holds.
+    exploded; when the eval side is benchmark-sized (the normal case)
+    it broadcasts into the semi-ish inner join, so the corpus side
+    never shuffles; per-doc overlap count is one grouped aggregate.
+
+    SIZE GATE (round-4 verdict: the unconditional broadcast was the
+    last one in the pipeline): the eval side's n-gram count is bounded
+    by its token count, measured with one cheap narrow scan of eval
+    texts (no shuffle, no explode). Above `broadcast_limit_tokens`
+    (default 2M n-grams ~ a few hundred MB of strings — past any sane
+    driver/executor broadcast budget) the join falls back to a
+    shuffle-hash join on the n-gram key: both sides exchange, which is
+    exactly the right trade once the eval set is itself corpus-sized.
+    Set the limit to 0 to force the fallback (tests pin path equality
+    and the no-BroadcastHashJoin plan shape).
 
     Returns every corpus doc: (key, n_overlap, contaminated). Eval
     docs present in df flag themselves (full self-overlap) — that is
@@ -657,8 +703,16 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 8,
     evalg = (eval_df.select(F.explode(word_shingles(F.col(text_col), n))
                             .alias("g"))
              .distinct())
-    hits = (corpus.join(F.broadcast(evalg), "g")
-            .groupBy(key_col).agg(F.count("*").alias("n_overlap")))
+    eval_tokens = (eval_df.select(
+        F.sum(F.size(F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"\s+"), lambda x: x != F.lit("")))).alias("t"))
+        .first()["t"] or 0)
+    if eval_tokens <= broadcast_limit_tokens:
+        joined = corpus.join(F.broadcast(evalg), "g")
+    else:
+        joined = corpus.join(evalg.hint("shuffle_hash"), "g")
+    hits = joined.groupBy(key_col).agg(F.count("*").alias("n_overlap"))
     return (df.select(key_col).join(hits, key_col, "left")
             .select(key_col,
                     F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))

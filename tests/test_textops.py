@@ -345,6 +345,29 @@ class TestCorpusHygiene:
         assert got[1][0] == 3          # the shared prefix ones
         assert got[2] == (0, False)
 
+    def test_decontaminate_size_gated_fallback(self, spark):
+        """r5 (VERDICT r4 §5): above the token bound the eval side must
+        NOT broadcast — the join falls back to a shuffle join on the
+        n-gram key. Pins (a) result equality between the two paths on
+        the sf0.001 corpus and (b) the fallback plan containing no
+        BroadcastHashJoin/BroadcastExchange."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        bc = X.decontaminate(docs, ev, n=8)
+        shuf = X.decontaminate(docs, ev, n=8, broadcast_limit_tokens=0)
+        a = sorted(tuple(r) for r in bc.collect())
+        b = sorted(tuple(r) for r in shuf.collect())
+        assert a == b and len(a) > 100
+        # the n-gram join specifically (the doc_id join-back is a small
+        # frame and legitimately broadcasts in BOTH paths)
+        plan = shuf._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin [g#" in plan, plan
+        assert "BroadcastHashJoin [g#" not in plan, plan
+        bplan = bc._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [g#" in bplan  # normal path broadcasts
+
     def test_pii_scrub_order_and_counts(self, spark):
         from crawlspark import textops as X
 
