@@ -112,7 +112,7 @@ def run_queries(spark) -> tuple[dict[str, float], float]:
     for name, (fn, _sql) in QUERIES.items():
         t0 = time.time()
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        times[name] = round(time.time() - t0, 2)
     return times, idx_secs
 
 
@@ -259,10 +259,22 @@ def state_commit_probe(rows_per_wave: int = 200_000, waves: int = 20,
             return round(statistics.median(ts[half:])
                          / max(statistics.median(ts[:half]), 1e-9), 2)
 
+        # compact summaries, not the raw per-wave lists: the driver's
+        # line capture truncated round 4's JSON head — keep the ONE
+        # printed line short (full arrays land in the bench log dir if
+        # CRAWLSPARK_BENCH_LOG is set)
+        med = lambda ts: round(statistics.median(ts), 2)
+        log_dir = os.environ.get("CRAWLSPARK_BENCH_LOG")
+        if log_dir:
+            with open(os.path.join(log_dir, "state_commit_walls.json"),
+                      "w") as fh:
+                json.dump({"commit_wall_s": commit_s, "read_wall_s": read_s,
+                           "compact_wall_s": compact_s}, fh)
         return {"rows_per_wave": rows_per_wave, "waves": waves,
                 "compact_every": compact_every,
-                "commit_wall_s": commit_s, "read_wall_s": read_s,
-                "compact_wall_s": compact_s,
+                "commit_med_s": med(commit_s), "commit_max_s": max(commit_s),
+                "read_med_s": med(read_s), "read_max_s": max(read_s),
+                "compact_med_s": med(compact_s) if compact_s else None,
                 "flat_ratio": flat(commit_s),
                 "read_flat_ratio": flat(read_s)}
 

@@ -8,9 +8,10 @@ correction bits, the libjpeg scan structure), 8-bit, grayscale or
 YCbCr at any uniform sampling-factor layout — 4:4:4, 4:2:0 (the
 dominant web layout; generic interleaved-MCU decode with
 sample-replication upsampling, and the encoder can emit it via
-subsampling='420'), 4:2:2, and (baseline) restart intervals —
-DRI/RSTn markers with byte re-alignment and DC-predictor reset, on
-both encode and decode (progressive + restarts stays gated).
+subsampling='420'), 4:2:2, and restart intervals in BOTH modes (r5:
+progressive too) — DRI/RSTn markers with byte re-alignment,
+DC-predictor reset and per-scan AC-state (EOB-run/correction-bit)
+flush, on both encode and decode.
 encode_jpeg_progressive exists so the progressive decode paths are
 round-trip-testable without external fixtures: its output decodes
 BIT-IDENTICALLY to the baseline encoding of the same image (same
@@ -383,8 +384,8 @@ def _enc_ac_refine(st: _ProgAcState, band: np.ndarray, al: int):
             st.flush()
 
 
-def encode_jpeg_progressive(pixels: np.ndarray,
-                            subsampling: str = "444") -> bytes:
+def encode_jpeg_progressive(pixels: np.ndarray, subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
     """Progressive (SOF2) JFIF with spectral selection AND successive
     approximation — the libjpeg-style scan script, so every decoder
     path (DC first/refine, AC first/refine, EOB runs, buffered
@@ -393,7 +394,14 @@ def encode_jpeg_progressive(pixels: np.ndarray,
       1. DC, interleaved, Al=1        4. AC refine 1-5,  Ah=1->Al=0
       2. AC first 1-5,  Al=1 (/comp)  5. AC refine 6-63, Ah=1->Al=0
       3. AC first 6-63, Al=1 (/comp)  6. DC refine, interleaved
-    """
+
+    restart_interval (r5, closing the progressive+restarts gate): emit
+    DRI + RSTn every N restart units in EVERY scan — units are MCUs in
+    the interleaved DC scans and blocks in the per-component AC scans
+    (T.81 E.2.4). At each restart the AC state flushes first (EOB runs
+    and buffered correction bits may not span a restart), the writer
+    byte-aligns, DC predictors reset; the RSTn index restarts at 0 per
+    scan."""
     h, w, gray, yh, yv, comps = _plan_blocks(pixels, subsampling)
     dc = _canonical_codes(*_DC_SPEC)
     ac = _canonical_codes(*_AC_PROG_SPEC)
@@ -412,6 +420,8 @@ def encode_jpeg_progressive(pixels: np.ndarray,
     for tc_th, (bits, vals) in ((0x00, _DC_SPEC), (0x10, _AC_PROG_SPEC),
                                 (0x01, _DC_SPEC), (0x11, _AC_PROG_SPEC)):
         out.append(_seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+    if restart_interval:
+        out.append(_seg(0xFFDD, struct.pack(">H", restart_interval)))
 
     def scan(header_comps, body_bits, ss, se, ah, al):
         sos = bytes([len(header_comps)])
@@ -425,23 +435,39 @@ def encode_jpeg_progressive(pixels: np.ndarray,
     mx_n = comps[0]["coef"].shape[1] // yh
     my_n = comps[0]["coef"].shape[0] // yv
 
+    def maybe_restart(wtr, rst, unit_i, total, preds=None, st=None):
+        """Close a restart interval mid-scan: flush AC state, byte-
+        align + RSTn, reset DC predictors; returns the next RSTn
+        index. No-op after the final unit (no trailing RSTn)."""
+        if (not restart_interval or (unit_i + 1) % restart_interval
+                or unit_i + 1 >= total):
+            return rst
+        if st is not None:
+            st.flush()
+        wtr.restart(rst)
+        if preds is not None:
+            preds[:] = [0] * len(preds)
+        return (rst + 1) & 7
+
     # 1. DC first (interleaved when ncomp > 1), Al=1
     wtr = _BitWriter()
     preds = [0] * ncomp
-    for my in range(my_n):
-        for mx in range(mx_n):
-            for ci in range(ncomp):
-                hs, vs = samp_of[ci]
-                for v in range(vs):
-                    for hh in range(hs):
-                        c0 = _shr(int(comps[ci]["coef"][my * vs + v,
-                                                        mx * hs + hh, 0]), 1)
-                        size, bits = _magnitude(c0 - preds[ci])
-                        preds[ci] = c0
-                        cde, ln = dc[size]
-                        wtr.write(cde, ln)
-                        if size:
-                            wtr.write(bits, size)
+    rst = 0
+    for mcu_i in range(my_n * mx_n):
+        my, mx = divmod(mcu_i, mx_n)
+        for ci in range(ncomp):
+            hs, vs = samp_of[ci]
+            for v in range(vs):
+                for hh in range(hs):
+                    c0 = _shr(int(comps[ci]["coef"][my * vs + v,
+                                                    mx * hs + hh, 0]), 1)
+                    size, bits = _magnitude(c0 - preds[ci])
+                    preds[ci] = c0
+                    cde, ln = dc[size]
+                    wtr.write(cde, ln)
+                    if size:
+                        wtr.write(bits, size)
+        rst = maybe_restart(wtr, rst, mcu_i, my_n * mx_n, preds=preds)
     scan([(ci + 1, 0, 0) for ci in range(ncomp)], wtr.flush(), 0, 0, 0, 1)
 
     # non-interleaved grids exclude MCU padding blocks (T.81 A.2.2)
@@ -458,9 +484,11 @@ def encode_jpeg_progressive(pixels: np.ndarray,
             wtr = _BitWriter()
             st = _ProgAcState(wtr, ac)
             hb, wb = comp_grid(ci)
-            for by in range(hb):
-                for bx in range(wb):
-                    _enc_ac_first(st, comps[ci]["coef"][by, bx, ss:se + 1], 1)
+            rst = 0
+            for bi in range(hb * wb):
+                by, bx = divmod(bi, wb)
+                _enc_ac_first(st, comps[ci]["coef"][by, bx, ss:se + 1], 1)
+                rst = maybe_restart(wtr, rst, bi, hb * wb, st=st)
             st.flush()
             scan([(ci + 1, 0, 0)], wtr.flush(), ss, se, 0, 1)
 
@@ -470,22 +498,26 @@ def encode_jpeg_progressive(pixels: np.ndarray,
             wtr = _BitWriter()
             st = _ProgAcState(wtr, ac)
             hb, wb = comp_grid(ci)
-            for by in range(hb):
-                for bx in range(wb):
-                    _enc_ac_refine(st, comps[ci]["coef"][by, bx, ss:se + 1], 0)
+            rst = 0
+            for bi in range(hb * wb):
+                by, bx = divmod(bi, wb)
+                _enc_ac_refine(st, comps[ci]["coef"][by, bx, ss:se + 1], 0)
+                rst = maybe_restart(wtr, rst, bi, hb * wb, st=st)
             st.flush()
             scan([(ci + 1, 0, 0)], wtr.flush(), ss, se, 1, 0)
 
     # 6. DC refinement (raw bits, no Huffman)
     wtr = _BitWriter()
-    for my in range(my_n):
-        for mx in range(mx_n):
-            for ci in range(ncomp):
-                hs, vs = samp_of[ci]
-                for v in range(vs):
-                    for hh in range(hs):
-                        wtr.write(int(comps[ci]["coef"][my * vs + v,
-                                                        mx * hs + hh, 0]) & 1, 1)
+    rst = 0
+    for mcu_i in range(my_n * mx_n):
+        my, mx = divmod(mcu_i, mx_n)
+        for ci in range(ncomp):
+            hs, vs = samp_of[ci]
+            for v in range(vs):
+                for hh in range(hs):
+                    wtr.write(int(comps[ci]["coef"][my * vs + v,
+                                                    mx * hs + hh, 0]) & 1, 1)
+        rst = maybe_restart(wtr, rst, mcu_i, my_n * mx_n)
     scan([(ci + 1, 0, 0) for ci in range(ncomp)], wtr.flush(), 0, 0, 1, 0)
 
     out.append(b"\xFF\xD9")
@@ -587,11 +619,18 @@ def _next_marker(data: bytes, start: int) -> int:
 
 
 def _decode_prog_scan(data: bytes, pos: int, body: bytes, comps, huff,
-                      store, h: int, w: int) -> int:
+                      store, h: int, w: int, restart_int: int = 0) -> int:
     """Decode ONE progressive scan into the coefficient store; returns
     the position of the next marker. Implements T.81 G.2 (libjpeg
     jdphuff structure): DC first/refine (interleaved or single), AC
-    first/refine with EOB runs and buffered correction bits."""
+    first/refine with EOB runs and buffered correction bits.
+
+    restart_int (r5, closing the last progressive gate): every
+    restart_int restart units — MCUs in an interleaved DC scan, blocks
+    in a single-component scan (T.81 E.2.4 restart-interval
+    definition) — an RSTn marker terminates the entropy segment:
+    byte-align, verify the marker, reset DC predictors AND the EOB run
+    (an encoder must end EOB runs at a restart; reset is defensive)."""
     ns = body[0]
     scomp = []  # (comp index, td, ta) in scan order
     for i in range(ns):
@@ -604,6 +643,13 @@ def _decode_prog_scan(data: bytes, pos: int, body: bytes, comps, huff,
     r = _BitReader(data[pos:])
     hmax = max(c["hs"] for c in comps)
     vmax = max(c["vs"] for c in comps)
+
+    def at_restart(unit_i: int, total: int) -> bool:
+        """True when unit_i+1 closes a restart interval with units
+        still to come (the last interval ends at the scan's own end —
+        no trailing RSTn)."""
+        return (restart_int and (unit_i + 1) % restart_int == 0
+                and unit_i + 1 < total)
 
     def grid(ci):
         """Non-interleaved block dims (no MCU padding — T.81 A.2.2)."""
@@ -629,20 +675,25 @@ def _decode_prog_scan(data: bytes, pos: int, body: bytes, comps, huff,
         if ns > 1:
             mxn = -(-w // (8 * hmax))
             myn = -(-h // (8 * vmax))
-            for my in range(myn):
-                for mx in range(mxn):
-                    for ci, td, _ in scomp:
-                        c = comps[ci]
-                        for v in range(c["vs"]):
-                            for hh in range(c["hs"]):
-                                dc_one(ci, td, my * c["vs"] + v,
-                                       mx * c["hs"] + hh)
+            for mcu_i in range(myn * mxn):
+                my, mx = divmod(mcu_i, mxn)
+                for ci, td, _ in scomp:
+                    c = comps[ci]
+                    for v in range(c["vs"]):
+                        for hh in range(c["hs"]):
+                            dc_one(ci, td, my * c["vs"] + v,
+                                   mx * c["hs"] + hh)
+                if at_restart(mcu_i, myn * mxn):
+                    r.restart()
+                    preds = {k: 0 for k in preds}
         else:
             ci, td, _ = scomp[0]
             hb, wb = grid(ci)
-            for by in range(hb):
-                for bx in range(wb):
-                    dc_one(ci, td, by, bx)
+            for bi in range(hb * wb):
+                dc_one(ci, td, *divmod(bi, wb))
+                if at_restart(bi, hb * wb):
+                    r.restart()
+                    preds = {k: 0 for k in preds}
     else:
         # AC scan: always single-component
         ci, _, ta = scomp[0]
@@ -650,69 +701,74 @@ def _decode_prog_scan(data: bytes, pos: int, body: bytes, comps, huff,
         hb, wb = grid(ci)
         eobrun = 0
         p1, m1 = 1 << al, -(1 << al)
-        for by in range(hb):
-            for bx in range(wb):
-                coef = store[ci][by, bx]
-                if ah == 0:
-                    if eobrun > 0:
-                        eobrun -= 1
+        for bi in range(hb * wb):
+            # loop-TOP restart check (the body's EOB-run skip uses
+            # `continue`, which would jump an end-of-iteration check)
+            if restart_int and bi and bi % restart_int == 0:
+                r.restart()
+                eobrun = 0
+            by, bx = divmod(bi, wb)
+            coef = store[ci][by, bx]
+            if ah == 0:
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_symbol(r, act)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run != 15:
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += r.bits(run)
+                            break
+                        k += 16
                         continue
-                    k = ss
+                    k += run
+                    coef[k] = _extend(r.bits(size), size) << al
+                    k += 1
+            else:
+                # AC refinement (G.2, libjpeg decode_mcu_AC_refine)
+                def correct(k):
+                    if r.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+
+                k = ss
+                if eobrun == 0:
                     while k <= se:
                         rs = _read_symbol(r, act)
                         run, size = rs >> 4, rs & 0xF
+                        newval = 0
                         if size == 0:
                             if run != 15:
-                                eobrun = (1 << run) - 1
+                                eobrun = (1 << run)
                                 if run:
                                     eobrun += r.bits(run)
                                 break
-                            k += 16
-                            continue
-                        k += run
-                        coef[k] = _extend(r.bits(size), size) << al
-                        k += 1
-                else:
-                    # AC refinement (G.2, libjpeg decode_mcu_AC_refine)
-                    def correct(k):
-                        if r.bit() and (coef[k] & p1) == 0:
-                            coef[k] += p1 if coef[k] >= 0 else m1
-
-                    k = ss
-                    if eobrun == 0:
-                        while k <= se:
-                            rs = _read_symbol(r, act)
-                            run, size = rs >> 4, rs & 0xF
-                            newval = 0
-                            if size == 0:
-                                if run != 15:
-                                    eobrun = (1 << run)
-                                    if run:
-                                        eobrun += r.bits(run)
-                                    break
-                                # run == 15: ZRL, no new coefficient
-                            else:
-                                newval = p1 if r.bit() else m1
-                            while k <= se:
-                                if coef[k] != 0:
-                                    correct(k)
-                                else:
-                                    if run == 0:
-                                        if newval:
-                                            coef[k] = newval
-                                        k += 1
-                                        break
-                                    run -= 1
-                                k += 1
-                            # outer while re-reads a symbol at new k
-                    if eobrun > 0:
-                        # remainder of this block (and whole subsequent
-                        # EOB-run blocks) still carries correction bits
+                            # run == 15: ZRL, no new coefficient
+                        else:
+                            newval = p1 if r.bit() else m1
                         while k <= se:
                             if coef[k] != 0:
                                 correct(k)
+                            else:
+                                if run == 0:
+                                    if newval:
+                                        coef[k] = newval
+                                    k += 1
+                                    break
+                                run -= 1
                             k += 1
-                        eobrun -= 1
+                        # outer while re-reads a symbol at new k
+                if eobrun > 0:
+                    # remainder of this block (and whole subsequent
+                    # EOB-run blocks) still carries correction bits
+                    while k <= se:
+                        if coef[k] != 0:
+                            correct(k)
+                        k += 1
+                    eobrun -= 1
     return _next_marker(data, pos + max(r.pos - 1, 0))
 
 
@@ -784,9 +840,6 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             (restart_int,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
             if progressive:
-                if restart_int:
-                    raise NotImplementedError(
-                        "restart intervals in progressive scans")
                 if store is None:
                     hmax = max(c["hs"] for c in comps)
                     vmax = max(c["vs"] for c in comps)
@@ -795,7 +848,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     store = [np.zeros((myn * c["vs"], mxn * c["hs"], 64),
                                       dtype=np.int64) for c in comps]
                 pos = _decode_prog_scan(data, pos, body, comps, huff,
-                                        store, h, w)
+                                        store, h, w, restart_int)
                 continue
             ns = body[0]
             scan = {body[1 + 2 * i]: (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)

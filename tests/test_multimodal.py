@@ -160,8 +160,13 @@ class TestSparkPath:
         assert len(rows) == 120
         kinds = {r.kind for r in rows}
         assert kinds == {"image", "audio", "video"}
+        # the catalog row flattens the vector to a %.5f string (r5 —
+        # the driver's pandas canonicalization cannot sort list cells);
+        # still exactly FEATURE_DIM parseable floats per row
         for r in rows:
-            assert r.feature is not None and len(r.feature) == M.FEATURE_DIM
+            assert r.feature is not None
+            assert len([float(x) for x in r.feature.split(",")]) \
+                == M.FEATURE_DIM
         # videos sample multiple frames; images exactly one
         by_kind = {k: [r for r in rows if r.kind == k] for k in kinds}
         assert all(r.n_frames == 1 for r in by_kind["image"])
@@ -308,5 +313,32 @@ class TestJpeg:
             assert np.array_equal(ref, got), dri
         # the stream really contains RST markers
         data = encode_jpeg(img, restart_interval=2)
+        assert any(data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+                   for i in range(2, len(data) - 2))
+
+    def test_progressive_restart_intervals_bit_identical(self):
+        """r5 (the last progressive gate): DRI/RSTn inside progressive
+        scans — every scan byte-aligns, flushes its EOB-run/correction
+        state and resets DC predictors at each interval, yet decodes
+        bit-identically to (a) the restart-free progressive stream and
+        (b) the BASELINE encoding (same coefficients, same IDCT).
+        Covers all subsampling layouts, grayscale, odd dims, and
+        interval 1 (an RSTn after every unit of every scan)."""
+        from crawlspark.jpegc import (decode_jpeg, encode_jpeg,
+                                      encode_jpeg_progressive)
+
+        rng = np.random.default_rng(5)
+        for shape, sub in (((24, 40, 3), "444"), ((24, 40, 3), "420"),
+                           ((17, 23, 3), "422"), ((16, 16), "444")):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            ref = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))
+            assert np.array_equal(
+                ref, decode_jpeg(encode_jpeg(img, subsampling=sub)))
+            for dri in (1, 2, 7):
+                got = decode_jpeg(encode_jpeg_progressive(
+                    img, subsampling=sub, restart_interval=dri))
+                assert np.array_equal(ref, got), (shape, sub, dri)
+        data = encode_jpeg_progressive(img, restart_interval=1)
+        assert b"\xFF\xDD" in data
         assert any(data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
                    for i in range(2, len(data) - 2))
