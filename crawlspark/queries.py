@@ -930,6 +930,87 @@ ORDER BY id_a, id_b
 """
 
 
+def q_doc_dup_clusters(spark, sf):
+    """Near-dup CONNECTED COMPONENTS (dedup.dup_clusters): the LSH
+    pair list (identical banding to `doc_lsh_pairs`) turned into
+    keep-one-per-cluster labels by iterative min-label propagation;
+    every doc gets the minimum doc_id reachable through near-dup
+    edges. The oracle replays the same components with a recursive
+    CTE over the identical SQL-banded pair list."""
+    docs = _t(spark, sf, "documents")
+    pairs = (X.minhash_lsh_pairs(docs, num_perm=8, bands=4,
+                                 jaccard_threshold=0.5)
+             .select(F.col("id_a").alias("key_a"),
+                     F.col("id_b").alias("key_b")))
+    nodes = docs.select(F.col("doc_id").alias("key"))
+    return (D.dup_clusters(nodes, pairs)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.col("cluster").cast("long").alias("cluster"))
+            .orderBy("doc_id"))
+
+
+SQL_DOC_DUP_CLUSTERS_CC = f"""
+WITH RECURSIVE pairs AS ({SQL_DOC_LSH_PAIRS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+)
+SELECT id::BIGINT AS doc_id, min(lbl)::BIGINT AS cluster
+FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
+def q_para_dedup(spark, sf):
+    """Corpus-level exact paragraph dedup (textops.paragraph_dedup):
+    10-token pseudo-paragraphs (the fixture corpus is single-line), a
+    paragraph survives only at its minimum (doc_id, position)
+    occurrence; per doc the survivor count and the re-joined clean
+    text. The oracle replays the identical chunking + first-location
+    window in DuckDB."""
+    docs = _t(spark, sf, "documents")
+    return (X.paragraph_dedup(docs, para_tokens=10)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.col("n_paras").cast("long").alias("n_paras"),
+                    F.col("n_kept").cast("long").alias("n_kept"),
+                    "clean_text")
+            .orderBy("doc_id"))
+
+
+SQL_PARA_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), paras AS (
+  SELECT doc_id, (i - 1) AS pos,
+         array_to_string(t[(i - 1) * 10 + 1:(i - 1) * 10 + 10], ' ') AS p
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, cast(ceil(len(t) / 10.0) AS INT))) AS i
+        FROM toks)
+), ranked AS (
+  SELECT doc_id, pos, p,
+         row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) = 1 AS keep
+  FROM paras WHERE p != ''
+), agg AS (
+  SELECT doc_id, count(*) AS n_paras,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN p END, ' ' ORDER BY pos),
+                  '') AS clean_text
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(n_paras, 0)::BIGINT AS n_paras,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       coalesce(clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_doc_stats(spark, sf):
     """Text analysis: token count, char count, quality score, language."""
     docs = _t(spark, sf, "documents")
@@ -1732,6 +1813,8 @@ QUERIES = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "doc_simhash": (q_doc_simhash, SQL_DOC_SIMHASH),
     "doc_dup_classes": (q_doc_dup_classes, SQL_DOC_DUP_CLASSES),
+    "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS_CC),
+    "para_dedup": (q_para_dedup, SQL_PARA_DEDUP),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

@@ -19,6 +19,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -717,6 +718,63 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 8,
             .select(key_col,
                     F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
             .withColumn("contaminated", F.col("n_overlap") > 0))
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    key_col: str = "doc_id",
+                    para_tokens: int = 0) -> DataFrame:
+    """RefinedWeb-style CORPUS-LEVEL exact paragraph dedup: a
+    paragraph survives only at its first location — the minimum
+    (key, position) over every occurrence in the corpus — and every
+    later copy is dropped (the boilerplate/nav/footer killer that
+    document-level dedup cannot express).
+
+    para_tokens = 0 splits on newline runs; > 0 re-chunks the token
+    stream into fixed-size pseudo-paragraphs (the fixture corpus is
+    single-line word soup — deterministic chunking gives the oracle
+    an identical paragraph set to replay).
+
+    Returns every doc: (key, n_paras, n_kept, clean_text) where
+    clean_text is the surviving paragraphs re-joined in original
+    order.
+
+    Shape: posexplode -> ONE window min over struct(key, pos) keyed
+    by the paragraph hash (the only corpus-wide exchange, keyed by
+    paragraph content — skew = mass-duplicated boilerplate lands in
+    one partition's hash bucket, handled by AQE skew split) -> per-doc
+    re-aggregate. collect_list order is engine-nondeterministic;
+    array_sort on (pos, p) structs restores it deterministically."""
+    if para_tokens > 0:
+        toks = tokens_expr(F.col(text_col))
+        n = F.size(toks)
+        nchunks = F.ceil(n / F.lit(para_tokens)).cast("int")
+        paras = F.when(n > 0, F.transform(
+            F.sequence(F.lit(0), nchunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * para_tokens + 1,
+                                               para_tokens)))) \
+            .otherwise(F.array().cast("array<string>"))
+    else:
+        paras = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n+")
+    ex = (df.select(F.col(key_col).alias("key"),
+                    F.posexplode(paras).alias("pos", "p"))
+          .filter(F.col("p") != ""))
+    w = Window.partitionBy("p")
+    kept = (ex.withColumn("_first", F.min(F.struct("key", "pos")).over(w))
+            .withColumn("_keep", (F.col("key") == F.col("_first.key"))
+                        & (F.col("pos") == F.col("_first.pos"))))
+    agg = kept.groupBy("key").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("_keep"), F.struct("pos", "p")))),
+                lambda x: x["p"]), " ").alias("clean_text"))
+    return (df.select(F.col(key_col).alias("key")).join(agg, "key", "left")
+            .select("key",
+                    F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))
 
 
 # RE2-safe AND Java-safe patterns (no lookaround, no backrefs) so the

@@ -178,6 +178,25 @@ class TestSimhash:
             assert marker not in plan, marker
 
 
+class TestDupClusters:
+    def test_min_label_components(self, spark):
+        """Connected components: a 4-chain (diameter 3 — needs real
+        iteration, not one hop), a pair, and two singletons."""
+        nodes = spark.createDataFrame([(i,) for i in range(8)], "key long")
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (0, 1), (5, 6)],
+                                      "key_a long, key_b long")
+        got = {r.key: r.cluster
+               for r in D.dup_clusters(nodes, pairs).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7}
+
+    def test_no_pairs_all_singletons(self, spark):
+        nodes = spark.createDataFrame([(3,), (9,)], "key long")
+        pairs = spark.createDataFrame([], "key_a long, key_b long")
+        got = {r.key: r.cluster
+               for r in D.dup_clusters(nodes, pairs).collect()}
+        assert got == {3: 3, 9: 9}
+
+
 class TestNullSemantics:
     def test_null_value_handling(self, spark):
         """deduplicator.go:60-66: Redis GET distinguishes key-missing

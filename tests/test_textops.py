@@ -368,6 +368,37 @@ class TestCorpusHygiene:
         bplan = bc._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin [g#" in bplan  # normal path broadcasts
 
+    def test_paragraph_dedup_first_location_wins(self, spark):
+        """Corpus-level paragraph dedup: a paragraph survives only at
+        its minimum (doc, position) occurrence; clean_text re-joins
+        survivors in original order; null/empty docs stay total."""
+        from crawlspark import textops as X
+
+        rows = [(0, "a b c d e f"),      # ["a b c", "d e f"] both first
+                (1, "x y z a b c"),      # "x y z" first, "a b c" dup
+                (2, "a b c x y z"),      # both dups
+                (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.key: (r.n_paras, r.n_kept, r.clean_text)
+               for r in X.paragraph_dedup(df, para_tokens=3).collect()}
+        assert got[0] == (2, 2, "a b c d e f")
+        assert got[1] == (2, 1, "x y z")
+        assert got[2] == (2, 0, "")
+        assert got[3] == (0, 0, "")
+
+    def test_paragraph_dedup_newline_mode(self, spark):
+        """para_tokens=0 splits on newline runs (the real-HTML shape):
+        an intra-doc repeat keeps only its first position."""
+        from crawlspark import textops as X
+
+        rows = [(10, "intro\nfooter text"), (11, "body\nfooter text\nbody")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.key: (r.n_paras, r.n_kept, r.clean_text)
+               for r in X.paragraph_dedup(df).collect()}
+        assert got[10] == (2, 2, "intro footer text")
+        # doc 11: "footer text" lost to doc 10; second "body" intra-dup
+        assert got[11] == (3, 1, "body")
+
     def test_pii_scrub_order_and_counts(self, spark):
         from crawlspark import textops as X
 
