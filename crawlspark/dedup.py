@@ -521,15 +521,16 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame,
     the same per-round primitives. Convergence is checked exactly (no
     label changed); every round persists its labels and unpersists
     the previous so lineage stays bounded."""
-    # persist the symmetric edge list: every round's neighbor-min
-    # re-references it, and the pair source is typically itself an
-    # expensive banded join (measured: unpersisted, each round re-ran
-    # the whole LSH banding — 11.3 s; persisted, 3.5 s cold)
-    edges = (pairs.select(F.col("key_a").alias("a"), F.col("key_b").alias("b"))
-             .union(pairs.select(F.col("key_b").alias("a"),
-                                 F.col("key_a").alias("b")))
-             .distinct()
-             .persist())
+    # Symmetrize via ONE explode, not a self-union: the union form
+    # references `pairs` twice and the pair source is typically itself
+    # an expensive banded-join pipeline — each reference re-runs it
+    # (the same multi-reference trap measured on the LSH verify, r4).
+    # Persisted because every round's neighbor-min re-reads the edges.
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col("key_a").alias("a"), F.col("key_b").alias("b")),
+        F.struct(F.col("key_b").alias("a"), F.col("key_a").alias("b"))))
+        .alias("e"))
+        .select("e.a", "e.b").distinct().persist())
     labels = nodes.select("key", F.col("key").alias("lbl")).persist()
     persisted = labels  # unpersist must hit the EXACT persisted plan
     for _ in range(max_iter):

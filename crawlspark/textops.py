@@ -213,8 +213,28 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                    & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")))
             .select(F.col(f"a.{key_col}").alias("id_a"),
                     F.col(f"b.{key_col}").alias("id_b"))
-            .distinct())
-    jac = ngram_jaccard(df, df, text_col, key_col, shingle_n, cand)
+            .distinct()
+            # persisted: the verify references the candidate frame 3x
+            # (two id prunes + the pair join), and every UNcached
+            # reference would re-run the whole band join (the measured
+            # r4 3-reference anti-result). The frame is broadcast-sized
+            # by this operator's contract, so the cache is tiny; it is
+            # left cached for the consumer (LRU-evicted, rebuilt
+            # correctly if dropped).
+            .persist())
+    # r5 scale fix: shingle ONLY candidate members. The previous form
+    # shingled the ENTIRE corpus on both verify sides — O(corpus)
+    # array construction for an O(candidates) answer; at 100 TB the
+    # non-candidate 99.99% of documents would be tokenized twice for
+    # nothing. The id prune is a broadcast semi-join off the cached
+    # candidate frame. (Measured at sf0.1: full pipeline 2.9 -> 1.8 s
+    # warm; the win grows linearly with corpus/candidate ratio.)
+    ids = (cand.select(F.col("id_a").alias(key_col))
+           .union(cand.select(F.col("id_b").alias(key_col)))
+           .distinct())
+    cand_docs = df.join(F.broadcast(ids), key_col)
+    jac = ngram_jaccard(cand_docs, cand_docs, text_col, key_col,
+                        shingle_n, cand)
     return jac.filter(F.col("jaccard") >= jaccard_threshold)
 
 

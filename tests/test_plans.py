@@ -168,6 +168,56 @@ class TestPolitenessPlan:
         assert "Window" in plan
 
 
+class TestR5Shapes:
+    def test_simhash_frame_zero_exchange(self, spark):
+        """r5: simhash64_frame is a pure projection — no Exchange, no
+        Generate (explode), no aggregate, no Python stage. (The r4
+        form's 65-buffer HashAggregate cost ~7 s of Janino compile on
+        every cold run and shuffled every token.)"""
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        from crawlspark import dedup as D
+
+        plan = plan_of(D.simhash64_frame(docs, "text", "doc_id"))
+        for banned in ("Exchange", "Generate", "HashAggregate",
+                       "ArrowEvalPython", "BatchEvalPython"):
+            assert banned not in plan, banned
+
+    def test_repetition_metrics_zero_exchange(self, spark):
+        """r5: repetition metrics are per-document — the staged
+        projection form must not shuffle, explode, or join."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        from crawlspark import textops as X
+
+        plan = plan_of(X.repetition_metrics(docs))
+        for banned in ("Exchange", "Generate", "HashAggregate",
+                       "SortMergeJoin", "BroadcastHashJoin"):
+            assert banned not in plan, banned
+
+    def test_lsh_verify_prunes_to_candidates(self, spark):
+        """r5: the LSH verify must shingle only candidate members —
+        the candidate-id prune appears as a broadcast join BELOW the
+        shingle projection (the pre-r5 form shingled the whole corpus
+        on both verify sides)."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        from crawlspark import textops as X
+
+        plan = plan_of(X.minhash_lsh_pairs(docs, num_perm=8, bands=4,
+                                           jaccard_threshold=0.5))
+        # the two id-prune joins + the pair join all broadcast
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "InMemoryTableScan" in plan  # cand persisted, not re-run
+
+    def test_para_dedup_window_keyed_by_content(self, spark):
+        """r5: paragraph dedup's corpus-wide exchange is keyed by the
+        paragraph content (the window that finds first locations)."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        from crawlspark import textops as X
+
+        plan = plan_of(X.paragraph_dedup(docs, para_tokens=10))
+        assert "hashpartitioning(p#" in plan
+        assert "Window" in plan
+
+
 class TestAnnIndex:
     def test_probe_prunes_partitions(self, spark, tmp_path):
         """The persisted LSH index is partitioned by bucket; a probe
