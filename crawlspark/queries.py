@@ -1011,6 +1011,71 @@ ORDER BY doc_id
 """
 
 
+def q_doc_lm_score(spark, sf):
+    """Unigram LM quality filter (textops.lm_quality_score): mean
+    token self-information under the corpus's own top-1000 unigram
+    model, OOV at the 1/total floor — the CCNet/KenLM-perplexity
+    filter shape. Oracle rebuilds the identical model and scoring in
+    DuckDB (round(4) absorbs libm last-ulp and sum-order drift)."""
+    docs = _t(spark, sf, "documents")
+    return (X.lm_quality_score(docs, vocab_k=1000)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_scored").cast("long").alias("n_scored"),
+                    "lm_score")
+            .orderBy("doc_id"))
+
+
+SQL_DOC_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS w
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), counts AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), tot AS (SELECT sum(c)::DOUBLE AS t FROM counts),
+vocab AS (
+  SELECT w, -log2(c::DOUBLE / t) AS info
+  FROM counts, tot ORDER BY c DESC, w LIMIT 1000
+), scored AS (
+  SELECT doc_id, count(*) AS n_scored,
+         round(avg(coalesce(info, -log2(1.0 / (SELECT t FROM tot)))), 4)
+           AS lm_score
+  FROM toks LEFT JOIN vocab USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(n_scored, 0)::BIGINT AS n_scored,
+       coalesce(lm_score, 0.0) AS lm_score
+FROM documents d LEFT JOIN scored USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+_SAMPLE_RATES = {"en": 0.25, "vi": 0.9, "fr": 0.5}
+
+
+def q_corpus_sample(spark, sf):
+    """Deterministic stratified sampling (textops.stratified_sample):
+    per-language keep rates via a reproducible md5 hash filter — the
+    training-mix primitive (downsample the English head, keep rare
+    languages). Pure filter, no shuffle; the oracle draws the
+    IDENTICAL sample from the same hash arithmetic."""
+    docs = _t(spark, sf, "documents")
+    return (X.stratified_sample(docs, _SAMPLE_RATES, strat_col="lang",
+                                default_rate=0.1)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+            .orderBy("doc_id"))
+
+
+SQL_CORPUS_SAMPLE = r"""
+SELECT doc_id::BIGINT AS doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5('s42|' || coalesce(lang, '') || '|' || doc_id),
+                      1, 15))::UBIGINT % 1000000
+      < (CASE lang WHEN 'en' THEN 0.25 WHEN 'vi' THEN 0.9
+                   WHEN 'fr' THEN 0.5 ELSE 0.1 END) * 1000000
+ORDER BY doc_id
+"""
+
+
 def q_doc_stats(spark, sf):
     """Text analysis: token count, char count, quality score, language."""
     docs = _t(spark, sf, "documents")
@@ -1815,6 +1880,8 @@ QUERIES = {
     "doc_dup_classes": (q_doc_dup_classes, SQL_DOC_DUP_CLASSES),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS_CC),
     "para_dedup": (q_para_dedup, SQL_PARA_DEDUP),
+    "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
+    "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

@@ -797,6 +797,75 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text")))
 
 
+def lm_quality_score(df: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id",
+                     vocab_k: int = 1000) -> DataFrame:
+    """CCNet-shape unigram LM quality score: per-document mean
+    self-information -log2(p(w)) under the corpus's own unigram
+    distribution — the cheap stand-in for the KenLM perplexity filter
+    every web-corpus pipeline runs (high score = improbable tokens =
+    gibberish/rare-boilerplate candidate; low = stereotypical text).
+
+    Two-pass shape: (1) one grouped count builds the unigram table;
+    the TOP-vocab_k rows (ties broken by word — deterministic) are the
+    model and BROADCAST — at 100 TB the vocabulary's heavy head is
+    what matters and a bounded-K model is the standard trade
+    (everything outside the head scores as OOV at the 1/total floor,
+    i.e. -log2(1/total)); (2) one explode + broadcast join + grouped
+    mean scores every document. Nothing unbounded ever shuffles except
+    the word-count aggregate, which is map-side combined.
+
+    Returns (key, n_scored, lm_score) for every doc; empty docs score
+    0.0. lm_score is rounded to 4 decimals: the per-token float sums
+    run in partition order (and the oracle's in its own), so the
+    guaranteed-identical digits are well inside 1e-4."""
+    toks = df.select(F.col(key_col),
+                     F.explode(tokens_expr(F.col(text_col))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c")).first()[0] or 1
+    vocab = (counts.orderBy(F.col("c").desc(), "w").limit(vocab_k)
+             .select("w", (-F.log2(F.col("c") / F.lit(float(total))))
+                     .alias("_info")))
+    oov = -__import__("math").log2(1.0 / total)
+    scored = (toks.join(F.broadcast(vocab), "w", "left")
+              .groupBy(key_col)
+              .agg(F.count("*").alias("n_scored"),
+                   F.round(F.avg(F.coalesce("_info", F.lit(oov))), 4)
+                   .alias("lm_score")))
+    return (df.select(key_col).join(scored, key_col, "left")
+            .select(key_col,
+                    F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+                    F.coalesce("lm_score", F.lit(0.0)).alias("lm_score")))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strat_col: str = "lang", key_col: str = "doc_id",
+                      default_rate: float = 0.0,
+                      salt: str = "s42") -> DataFrame:
+    """DETERMINISTIC stratified sampling — the training-mix primitive
+    (upsample rare languages / downsample the head) done as a pure
+    hash filter, so the sample is reproducible across runs, cluster
+    sizes and engines (df.sample() is seed+partition-layout dependent
+    and NOT reproducible under repartitioning; this is).
+
+    A row survives iff md5(salt|stratum|key) mod 10^6 < rate * 10^6.
+    Pure projection+filter: no shuffle, no state; the per-stratum rate
+    table is a literal CASE chain (strata are few by definition).
+    The hash is the same '0x'+hex-prefix construction the oracles
+    replay, so DuckDB draws the identical sample."""
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + "|"),
+                       F.coalesce(F.col(strat_col), F.lit("")),
+                       F.lit("|"), F.col(key_col).cast("string"))),
+        1, 15), 16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(1_000_000))
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strat_col) == stratum, F.lit(float(r))) \
+                .otherwise(rate)
+    return df.filter(bucket < rate * 1_000_000)
+
+
 # RE2-safe AND Java-safe patterns (no lookaround, no backrefs) so the
 # DuckDB oracle runs the identical pattern text
 PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -399,6 +399,40 @@ class TestCorpusHygiene:
         # doc 11: "footer text" lost to doc 10; second "body" intra-dup
         assert got[11] == (3, 1, "body")
 
+    def test_lm_score_rare_tokens_score_higher(self, spark):
+        """Docs made of corpus-rare tokens carry more self-information
+        than docs of head tokens; empty docs stay total at 0.0."""
+        from crawlspark import textops as X
+
+        common = "the and of to in " * 20
+        rows = [(0, common), (1, common), (2, common),
+                (3, "zyzzyva qwyjibo floccinaucinihilipilification"),
+                (4, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_scored, r.lm_score)
+               for r in X.lm_quality_score(df, vocab_k=5).collect()}
+        assert got[4] == (0, 0.0)
+        assert got[3][1] > got[0][1]          # rare >> head tokens
+        assert got[0] == got[1] == got[2]     # identical docs, same score
+
+    def test_stratified_sample_deterministic_and_rated(self, spark):
+        """The sample must be identical under repartitioning (the
+        property df.sample() lacks) and per-stratum rates must land
+        near their targets."""
+        from crawlspark import textops as X
+
+        rows = [(i, "en" if i % 2 == 0 else "vi") for i in range(4000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        rates = {"en": 0.25, "vi": 0.9}
+        a = sorted(r.doc_id for r in X.stratified_sample(df, rates).collect())
+        b = sorted(r.doc_id
+                   for r in X.stratified_sample(df.repartition(13), rates)
+                   .collect())
+        assert a == b and len(a) > 0
+        en = sum(1 for i in a if i % 2 == 0) / 2000
+        vi = sum(1 for i in a if i % 2 == 1) / 2000
+        assert abs(en - 0.25) < 0.05 and abs(vi - 0.9) < 0.05
+
     def test_pii_scrub_order_and_counts(self, spark):
         from crawlspark import textops as X
 
