@@ -1076,6 +1076,40 @@ ORDER BY doc_id
 """
 
 
+def q_seq_pack(spark, sf):
+    """Training-sequence packing (textops.pack_sequences): concat-and-
+    chunk token addressing into 2048-token windows via a distributed
+    prefix sum (per-partition cumsum + broadcast offsets — never a
+    single-partition global window). Oracle is the straight window
+    cumsum in DuckDB: identical numbers prove the two-phase
+    decomposition is exact."""
+    docs = _t(spark, sf, "documents")
+    return (X.pack_sequences(docs, budget=2048)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    "n_tokens", "seq_id", "seq_offset")
+            .orderBy("doc_id"))
+
+
+SQL_SEQ_PACK = r"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(coalesce(text, ''))),
+                       '\s+')) END AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tokens AS start
+  FROM c
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+       (start // 2048)::BIGINT AS seq_id,
+       (start % 2048)::BIGINT AS seq_offset
+FROM cum ORDER BY doc_id
+"""
+
+
 def q_doc_stats(spark, sf):
     """Text analysis: token count, char count, quality score, language."""
     docs = _t(spark, sf, "documents")
@@ -1882,6 +1916,7 @@ QUERIES = {
     "para_dedup": (q_para_dedup, SQL_PARA_DEDUP),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
+    "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

@@ -866,6 +866,55 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(bucket < rate * 1_000_000)
 
 
+def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
+                   key_col: str = "doc_id",
+                   num_partitions: int | None = None) -> DataFrame:
+    """Training-sequence packing: documents are concatenated in key
+    order and addressed into fixed-budget token windows — for every
+    doc, the sequence it starts in and its token offset inside that
+    sequence (the concat-and-chunk bookkeeping an LLM pretraining
+    loader runs over a corpus).
+
+    The global running token total is a DISTRIBUTED PREFIX SUM, not a
+    single-partition window: a global `Window.orderBy(key)` would pull
+    the entire corpus through ONE task (Spark's unpartitioned-window
+    trap — WindowExec moves everything into one partition). Instead:
+    range-partition by key, per-partition running sum (each partition
+    windows only its own rows), collect the P per-partition totals
+    (driver-side: P numbers, not rows), and broadcast-join each
+    partition's exclusive offset back. Deterministic: range
+    partitioning + in-partition key order reproduce the same global
+    order at any parallelism.
+
+    Returns (key, n_tokens, seq_id, seq_offset) where seq_id =
+    floor(start / budget) and seq_offset = start % budget, start
+    being the doc's first-token position in the global concat."""
+    counts = df.select(F.col(key_col).alias("key"),
+                       token_count(F.col(text_col)).cast("long")
+                       .alias("n_tokens"))
+    p = num_partitions or counts.sparkSession.sparkContext.defaultParallelism
+    parted = (counts.repartitionByRange(p, "key")
+              .sortWithinPartitions("key")
+              .withColumn("_pid", F.spark_partition_id()))
+    w = (Window.partitionBy("_pid").orderBy("key")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    local = parted.withColumn("_cum", F.sum("n_tokens").over(w))
+    totals = (local.groupBy("_pid").agg(F.max("_cum").alias("_tot"))
+              .orderBy("_pid").collect())
+    off, offsets = 0, {}
+    for r in totals:
+        offsets[r["_pid"]] = off
+        off += r["_tot"]
+    off_df = local.sparkSession.createDataFrame(
+        [(pid, o) for pid, o in offsets.items()], "_pid int, _off long")
+    start = F.col("_off") + F.col("_cum") - F.col("n_tokens")
+    return (local.join(F.broadcast(off_df), "_pid")
+            .select("key", "n_tokens",
+                    F.floor(start / budget).cast("long").alias("seq_id"),
+                    F.pmod(start, F.lit(budget)).cast("long")
+                    .alias("seq_offset")))
+
+
 # RE2-safe AND Java-safe patterns (no lookaround, no backrefs) so the
 # DuckDB oracle runs the identical pattern text
 PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -433,6 +433,31 @@ class TestCorpusHygiene:
         vi = sum(1 for i in a if i % 2 == 1) / 2000
         assert abs(en - 0.25) < 0.05 and abs(vi - 0.9) < 0.05
 
+    def test_pack_sequences_parallelism_invariant(self, spark):
+        """The distributed prefix sum must be EXACT: the packing at 1
+        partition and 7 partitions is identical, budget boundaries
+        land where the straight cumsum says, and no plan stage ever
+        collapses to a single partition (the global-window trap)."""
+        from crawlspark import textops as X
+
+        rows = [(i, "w " * ((i * 37) % 90 + 1)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(tuple(r) for r in
+                   X.pack_sequences(df, budget=100, num_partitions=1)
+                   .collect())
+        b = sorted(tuple(r) for r in
+                   X.pack_sequences(df, budget=100, num_partitions=7)
+                   .collect())
+        assert a == b
+        # reference cumsum
+        start = 0
+        for key, n, seq_id, off in a:
+            assert (seq_id, off) == (start // 100, start % 100), key
+            start += n
+        plan = (X.pack_sequences(df, budget=100, num_partitions=7)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "SinglePartition" not in plan, plan
+
     def test_pii_scrub_order_and_counts(self, spark):
         from crawlspark import textops as X
 
