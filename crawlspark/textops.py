@@ -898,7 +898,12 @@ def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
               .withColumn("_pid", F.spark_partition_id()))
     w = (Window.partitionBy("_pid").orderBy("key")
          .rowsBetween(Window.unboundedPreceding, 0))
-    local = parted.withColumn("_cum", F.sum("n_tokens").over(w))
+    # Persist the NARROW addressed frame (4 ints/doc) before the
+    # totals action: the prefix sum needs two passes, and without this
+    # the second pass re-tokenizes the full text corpus. At scale the
+    # persisted side is ~32 bytes/doc vs re-scanning the corpus.
+    local = (parted.withColumn("_cum", F.sum("n_tokens").over(w))
+             .persist())
     totals = (local.groupBy("_pid").agg(F.max("_cum").alias("_tot"))
               .orderBy("_pid").collect())
     off, offsets = 0, {}
