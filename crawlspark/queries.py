@@ -1110,6 +1110,108 @@ FROM cum ORDER BY doc_id
 """
 
 
+def q_doc_chunks(spark, sf):
+    """RAG-style chunking (textops.chunk_documents): 512-char windows,
+    64-char overlap, md5 per chunk so the expanded corpus never ships.
+    Zero-shuffle posexplode row expansion."""
+    docs = _t(spark, sf, "documents")
+    return (X.chunk_documents(docs, size=512, overlap=64)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    "chunk_idx", "chunk_start", "chunk_len", "chunk_md5")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+SQL_DOC_CHUNKS = r"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS L
+  FROM documents
+), n AS (
+  SELECT doc_id, t,
+         CASE WHEN L = 0 THEN 0
+              ELSE greatest(1, ceil((L - 64) / 448.0)::BIGINT) END AS nc
+  FROM d
+)
+SELECT doc_id, k::BIGINT AS chunk_idx, (k * 448)::BIGINT AS chunk_start,
+       length(substr(t, k * 448 + 1, 512))::BIGINT AS chunk_len,
+       md5(substr(t, k * 448 + 1, 512)) AS chunk_md5
+FROM n, unnest(generate_series(0, nc - 1)) AS u(k)
+WHERE nc > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_emb_quantize(spark, sf):
+    """Per-vector int8 quantization of the embeddings table
+    (textops.quantize_embeddings). All-double arithmetic; the oracle
+    computes bit-identical scales and codes."""
+    emb = _t(spark, sf, "embeddings")
+    return (X.quantize_embeddings(emb)
+            .select(F.col("key").cast("long").alias("vec_id"),
+                    "scale", "dim", "codes")
+            .orderBy("vec_id"))
+
+
+SQL_EMB_QUANTIZE = r"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(coalesce(embedding, []), x -> x::DOUBLE) AS vv
+  FROM embeddings
+), m AS (
+  SELECT vec_id, vv,
+         coalesce(list_max(list_transform(vv, x -> abs(x))), 0.0) AS mx
+  FROM v
+)
+SELECT vec_id,
+       mx / 127.0 AS scale,
+       len(vv)::BIGINT AS dim,
+       coalesce(array_to_string(
+         CASE WHEN mx = 0 THEN list_transform(vv, x -> '0')
+              ELSE list_transform(vv,
+                     x -> round(x / (mx / 127.0))::INT::VARCHAR) END,
+         ','), '') AS codes
+FROM m ORDER BY vec_id
+"""
+
+
+def q_tfidf_topk(spark, sf):
+    """Per-doc top-3 keywords by smoothed tf-idf (textops.tfidf_topk);
+    round(4) on the score absorbs libm ulp between Java log and
+    DuckDB ln, ranks are exact (ties broken by term)."""
+    docs = _t(spark, sf, "documents")
+    return (X.tfidf_topk(docs, k=3)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    "term", "tf", "df", "tfidf", "rank")
+            .orderBy("doc_id", "rank"))
+
+
+SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(coalesce(text, ''))),
+                                   '\s+')) AS term
+  FROM documents
+  WHERE trim(lower(coalesce(text, ''))) <> ''
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * (ln((nd.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * (ln((nd.n + 1.0) /
+                              (dfreq.df + 1.0)) + 1.0) DESC,
+                              tf.term ASC) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df, round(score, 4) AS tfidf, rank::BIGINT AS rank
+FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_doc_stats(spark, sf):
     """Text analysis: token count, char count, quality score, language."""
     docs = _t(spark, sf, "documents")
@@ -1917,6 +2019,9 @@ QUERIES = {
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

@@ -920,6 +920,110 @@ def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
                     .alias("seq_offset")))
 
 
+def chunk_documents(df: DataFrame, size: int = 512, overlap: int = 64,
+                    text_col: str = "text",
+                    key_col: str = "doc_id") -> DataFrame:
+    """RAG-style fixed-size character chunking with overlap: each doc
+    yields windows of `size` chars whose starts step by
+    `size - overlap`. A trailing window is emitted only if it extends
+    past its predecessor (chars remaining > overlap), so no chunk is
+    fully contained in the previous one; null/empty text yields zero
+    chunks. n_chunks = max(1, ceil((len - overlap) / step)).
+
+    Plan: sequence + posexplode + substring — pure whole-stage-codegen
+    row expansion, ZERO shuffle, so it scales as a map over the corpus.
+    Emits md5(chunk) rather than the chunk text so downstream compares
+    and dedup never ship the expanded corpus."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(1),
+                   F.ceil((F.length(t) - F.lit(overlap)) / F.lit(step))))
+    staged = df.select(F.col(key_col).alias("key"), t.alias("_t"),
+                       n.cast("int").alias("_n"))
+    # posexplode of an empty sequence drops the row: 0-chunk docs vanish
+    ex = staged.select(
+        "key", "_t",
+        F.posexplode(F.when(F.col("_n") > 0,
+                            F.sequence(F.lit(0), F.col("_n") - 1))
+                     .otherwise(F.array().cast("array<int>")))
+        .alias("chunk_idx", "_k"))
+    chunk = F.substring(F.col("_t"), F.col("_k") * step + 1, size)
+    return ex.select(
+        "key",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("_k") * step).cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"))
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        key_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/serving
+    compression step for an embedding corpus): scale = max|x| / 127
+    in DOUBLE, code = round(x / scale) ∈ [-127, 127]; zero or empty
+    vectors get scale 0 and all-zero codes.
+
+    All arithmetic is double-precision IEEE (cast up from float
+    BEFORE any op) so the DuckDB oracle computes bit-identical scales
+    and codes. Pure per-row HOF transform — zero shuffle; codes are
+    emitted as a comma-joined string (the driver's pandas
+    canonicalization cannot hash list cells)."""
+    v = F.transform(F.coalesce(F.col(vec_col),
+                               F.array().cast("array<float>")),
+                    lambda x: x.cast("double"))
+    # stage _v and _m as named columns: multi-referenced non-cheap
+    # expressions get NO CSE otherwise (SPARK-36718)
+    staged = (df.select(F.col(key_col).alias("key"), v.alias("_v"))
+              .withColumn("_m", F.coalesce(
+                  F.array_max(F.transform("_v", F.abs)), F.lit(0.0))))
+    scale = F.col("_m") / F.lit(127.0)
+    codes = F.when(F.col("_m") == 0,
+                   F.transform("_v", lambda x: F.lit(0))) \
+             .otherwise(F.transform(
+                 "_v", lambda x: F.round(x / scale).cast("int")))
+    return staged.select(
+        "key",
+        scale.alias("scale"),
+        F.size("_v").cast("long").alias("dim"),
+        F.coalesce(F.array_join(F.transform(codes,
+                                            lambda c: c.cast("string")),
+                                ","), F.lit("")).alias("codes"))
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text",
+               key_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k keywords by smoothed tf-idf:
+    idf = ln((N + 1) / (df + 1)) + 1 over whitespace tokens of
+    lower(text), score = tf * idf, ties broken by term so the top-k
+    cut is deterministic.
+
+    Shape at scale: explode + two partial-agg'd groupBys (tf by
+    (doc, term), df by term); the doc count N rides a 1-row broadcast
+    cross join (no driver action); the df-side join is term-keyed —
+    vocab is orders of magnitude smaller than the tf table, so Spark
+    broadcasts it when small and shuffle-joins otherwise. The top-k
+    window partitions by doc (never a global sort)."""
+    toks = df.select(F.col(key_col).alias("key"),
+                     F.explode(tokens_expr(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("key", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count_distinct(F.col(key_col)).alias("_n"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(ndocs))
+              .withColumn("_score",
+                          F.col("tf") * (F.log((F.col("_n") + 1.0) /
+                                               (F.col("df") + 1.0)) + 1.0)))
+    w = Window.partitionBy("key").orderBy(F.desc("_score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("key", "term", "tf", "df",
+                    F.round("_score", 4).alias("tfidf"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
 # RE2-safe AND Java-safe patterns (no lookaround, no backrefs) so the
 # DuckDB oracle runs the identical pattern text
 PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

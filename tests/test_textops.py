@@ -458,6 +458,73 @@ class TestCorpusHygiene:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "SinglePartition" not in plan, plan
 
+    def test_chunk_documents_semantics(self, spark):
+        """Crafted lengths pin the containment rule: a trailing window
+        is emitted only when it extends past its predecessor, nulls
+        and empties vanish, and the plan never shuffles."""
+        from crawlspark import textops as X
+
+        rows = [(0, None), (1, ""), (2, "a" * 5), (3, "a" * 10),
+                (4, "a" * 11), (5, "a" * 18), (6, "a" * 19)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["key"]: r for r in
+               X.chunk_documents(df, size=10, overlap=2)
+               .groupBy("key").agg(F.count("*").alias("n"),
+                                   F.max("chunk_start").alias("last"))
+               .collect()}
+        # step = 8; n = max(1, ceil((L-2)/8)); L<=10 -> 1 chunk
+        assert 0 not in out and 1 not in out
+        assert (out[2]["n"], out[3]["n"]) == (1, 1)
+        # L=11: chunk at 8 covers 3 chars > overlap -> 2 chunks
+        assert (out[4]["n"], out[4]["last"]) == (2, 8)
+        # L=18: chars past start 16 = 2 == overlap -> contained, still 2
+        assert out[5]["n"] == 2
+        assert (out[6]["n"], out[6]["last"]) == (3, 16)
+        # offsets+lens tile the doc: sum(len) - overlap*(n-1) == L
+        chunks = X.chunk_documents(df, size=10, overlap=2).collect()
+        import collections
+        tot = collections.Counter()
+        for r in chunks:
+            tot[r["key"]] += r["chunk_len"]
+        assert tot[6] == 19 + 2 * (out[6]["n"] - 1)
+        plan = (X.chunk_documents(df, size=10, overlap=2)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, plan
+
+    def test_quantize_embeddings_semantics(self, spark):
+        from crawlspark import textops as X
+
+        rows = [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0]), (2, None),
+                (3, [127.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["key"]: r for r in X.quantize_embeddings(df).collect()}
+        # max|x| maps to ±127 exactly; others scale linearly
+        assert out[0]["codes"] == "64,-127,32"  # round(1/(2/127))=63.5->64
+        assert out[0]["scale"] == 2.0 / 127.0
+        assert out[1]["codes"] == "0,0" and out[1]["scale"] == 0.0
+        assert out[2]["codes"] == "" and out[2]["dim"] == 0
+        assert out[3]["codes"] == "127" and out[3]["scale"] == 1.0
+        plan = (X.quantize_embeddings(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, plan
+
+    def test_tfidf_topk_ranking(self, spark):
+        """A corpus-wide stopword must rank below a doc-unique term
+        even at lower tf; ties break by term alphabetically."""
+        from crawlspark import textops as X
+
+        rows = [(0, "the the the zebra"), (1, "the apple"),
+                (2, "the banana banana")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = X.tfidf_topk(df, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["key"], []).append((r["rank"], r["term"]))
+        # 'the' has df=3 -> idf=1+ln(4/4)=1; uniques have idf=1+ln(2)
+        assert sorted(by_doc[0]) == [(1, "the"), (2, "zebra")]  # tf=3 wins
+        assert sorted(by_doc[1])[0] == (1, "apple")
+        assert sorted(by_doc[2])[0] == (1, "banana")
+
     def test_pii_scrub_order_and_counts(self, spark):
         from crawlspark import textops as X
 
