@@ -210,9 +210,14 @@ def q_top_users(spark, sf):
 
     e = _t(spark, sf, "events")
     counts = e.groupBy("user_id").agg(F.count("*").cast("long").alias("n_events"))
+    # top-k first (TakeOrderedAndProject — never a single-partition
+    # window over the full user cardinality), THEN rank the k rows:
+    # the sort key is total, so ranks in the limited frame are the
+    # global ranks.
+    top = counts.orderBy(F.col("n_events").desc(), F.col("user_id")).limit(20)
     w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
-    return (counts.withColumn("rk", F.row_number().over(w).cast("long"))
-            .filter(F.col("rk") <= 20).orderBy("rk"))
+    return (top.withColumn("rk", F.row_number().over(w).cast("long"))
+            .orderBy("rk"))
 
 
 SQL_TOP_USERS = """
@@ -306,9 +311,16 @@ def q_frontier_order(spark, sf):
     from pyspark.sql.window import Window
 
     e = _t(spark, sf, "events")
-    w = Window.orderBy(F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc())
-    return (e.select("event_id", F.row_number().over(w).cast("long").alias("seq"))
-            .orderBy("seq").limit(1000))
+    # top-1000 via TakeOrderedAndProject, then rank the bounded frame:
+    # (value, ts, event_id) is a total order, so the 1000 ranks are
+    # the global ranks — the old full-table row_number single-
+    # partitioned the whole frontier.
+    key = [F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()]
+    top = e.select("event_id", "value", "ts").orderBy(*key).limit(1000)
+    w = Window.orderBy(*key)
+    return (top.select("event_id",
+                       F.row_number().over(w).cast("long").alias("seq"))
+            .orderBy("seq"))
 
 
 SQL_FRONTIER_ORDER = """
@@ -1072,6 +1084,49 @@ WHERE ('0x' || substr(md5('s42|' || coalesce(lang, '') || '|' || doc_id),
                       1, 15))::UBIGINT % 1000000
       < (CASE lang WHEN 'en' THEN 0.25 WHEN 'vi' THEN 0.9
                    WHEN 'fr' THEN 0.5 ELSE 0.1 END) * 1000000
+ORDER BY doc_id
+"""
+
+
+def q_corpus_mix(spark, sf):
+    """Static data-mixture sampling (textops.mix_corpus): sources
+    src0/src1/src2/src3 weighted 4:2:1:1 against a 4000-token budget;
+    per-source keep rates derive from measured token totals (src0's
+    desired 2000 tokens exceed its total at small SFs — the min(1,·)
+    clamp branch — and stay fractional at sf0.1). The oracle draws the
+    identical mixture from the same hash + rate arithmetic."""
+    docs = _t(spark, sf, "documents")
+    return (X.mix_corpus(docs, {"src0": 4.0, "src1": 2.0,
+                                "src2": 1.0, "src3": 1.0},
+                         budget_tokens=4000)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    "source", "n_tokens", "rate")
+            .orderBy("doc_id"))
+
+
+SQL_CORPUS_MIX = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         (CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN 0
+               ELSE len(string_split_regex(trim(lower(coalesce(text, ''))),
+                        '\s+')) END)::BIGINT AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT source, sum(n_tokens)::BIGINT AS T FROM t GROUP BY 1
+), r AS (
+  SELECT source,
+         CASE WHEN T <= 0 THEN 0.0
+              WHEN source = 'src0' THEN least(1.0, 2000.0 / T::DOUBLE)
+              WHEN source = 'src1' THEN least(1.0, 1000.0 / T::DOUBLE)
+              WHEN source = 'src2' THEN least(1.0, 500.0 / T::DOUBLE)
+              WHEN source = 'src3' THEN least(1.0, 500.0 / T::DOUBLE)
+              ELSE 0.0 END AS rate
+  FROM tot
+)
+SELECT t.doc_id::BIGINT AS doc_id, t.source, t.n_tokens, r.rate
+FROM t JOIN r USING (source)
+WHERE ('0x' || substr(md5('m42|' || t.source || '|' || t.doc_id), 1, 15))::UBIGINT
+        % 1000000 < r.rate * 1000000
 ORDER BY doc_id
 """
 
@@ -2019,6 +2074,7 @@ QUERIES = {
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
+    "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),

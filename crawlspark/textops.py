@@ -866,6 +866,48 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(bucket < rate * 1_000_000)
 
 
+def mix_corpus(df: DataFrame, weights: dict[str, float],
+               budget_tokens: int, source_col: str = "source",
+               text_col: str = "text", key_col: str = "doc_id",
+               salt: str = "m42") -> DataFrame:
+    """Static data-mixture sampling (the pretraining 'mix' step):
+    given per-source weights and a total token budget, each source s
+    gets desired tokens D_s = budget * w_s / Σw and keep rate
+    r_s = min(1, D_s / T_s) against its measured token total T_s;
+    docs survive a deterministic md5 hash filter at that rate, so the
+    drawn mixture is reproducible across runs, partitionings and
+    engines. Sources without a weight (or with zero tokens) keep
+    nothing.
+
+    Shape at scale: ONE partial-agg'd groupBy for the per-source token
+    totals (|sources| rows), rates broadcast back, then a pure hash
+    filter — the corpus is scanned twice but never shuffled. D_s is
+    computed driver-side so the only in-engine float op is D_s / T_s
+    (bit-identical in any IEEE engine, oracle included)."""
+    w_sum = float(sum(weights.values()))
+    toks = df.select(F.col(source_col).alias("_src"),
+                     F.col(key_col).alias("key"),
+                     token_count(F.col(text_col)).cast("long")
+                     .alias("n_tokens"))
+    totals = toks.groupBy("_src").agg(F.sum("n_tokens").alias("_T"))
+    des = F.lit(None).cast("double")
+    for s, w in sorted(weights.items()):
+        des = F.when(F.col("_src") == s,
+                     F.lit(budget_tokens * float(w) / w_sum)).otherwise(des)
+    rates = totals.withColumn(
+        "rate",
+        F.when(des.isNull() | (F.col("_T") <= 0), F.lit(0.0))
+         .otherwise(F.least(F.lit(1.0), des / F.col("_T").cast("double"))))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), F.col("_src"), F.lit("|"),
+                       F.col("key").cast("string"))), 1, 15), 16, 10) \
+        .cast("long")
+    return (toks.join(F.broadcast(rates.select("_src", "rate")), "_src")
+            .filter(F.pmod(h, F.lit(1_000_000)) < F.col("rate") * 1_000_000)
+            .select("key", F.col("_src").alias("source"), "n_tokens",
+                    "rate"))
+
+
 def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
                    key_col: str = "doc_id",
                    num_partitions: int | None = None) -> DataFrame:

@@ -169,6 +169,30 @@ class TestPolitenessPlan:
 
 
 class TestR5Shapes:
+    def test_ranked_topk_never_windows_the_full_frame(self, spark):
+        """r5: top_users / frontier_order rank via TakeOrderedAndProject
+        + a window over the LIMITED frame only — the old form ran
+        row_number over the whole input in ONE partition (the
+        WindowExec 'No Partition Defined' trap, fatal at frontier
+        scale)."""
+        for q in (Q.q_top_users, Q.q_frontier_order):
+            plan = plan_of(q(spark, SF))
+            assert "TakeOrderedAndProject" in plan, plan
+            # the single window must sit ABOVE the TakeOrdered (ranking
+            # k rows), never below it (ranking the full frame)
+            assert plan.index("Window") < plan.index(
+                "TakeOrderedAndProject"), plan
+
+    def test_chunk_and_quantize_zero_exchange(self, spark):
+        """r5: chunking and quantization are per-row — no shuffle."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        for df in (X.chunk_documents(docs, 512, 64),
+                   X.quantize_embeddings(emb)):
+            assert "Exchange" not in plan_of(df)
+
     def test_simhash_frame_zero_exchange(self, spark):
         """r5: simhash64_frame is a pure projection — no Exchange, no
         Generate (explode), no aggregate, no Python stage. (The r4

@@ -458,6 +458,35 @@ class TestCorpusHygiene:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "SinglePartition" not in plan, plan
 
+    def test_mix_corpus_rates_and_determinism(self, spark):
+        """Rates derive from measured token totals (clamped at 1),
+        unweighted and zero-token sources keep nothing, and the drawn
+        mixture is identical at any partitioning."""
+        from crawlspark import textops as X
+
+        rows = ([(i, "a", "w " * 10) for i in range(100)] +        # T=1000
+                [(100 + i, "b", "w " * 10) for i in range(10)] +   # T=100
+                [(200 + i, "c", "w " * 10) for i in range(50)] +   # unweighted
+                [(300, "d", "")])                                  # zero tokens
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        weights = {"a": 1.0, "b": 1.0, "d": 2.0}
+        out = X.mix_corpus(df, weights, budget_tokens=1000).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        # a: desired 250 of 1000 -> rate 0.25; b: desired 250 of 100 -> 1.0
+        assert all(r["rate"] == 0.25 for r in by_src["a"])
+        assert len(by_src["b"]) == 10 and all(r["rate"] == 1.0
+                                              for r in by_src["b"])
+        assert "c" not in by_src and "d" not in by_src
+        # the hash filter at rate 0.25 lands near 25 of 100 docs
+        assert 10 <= len(by_src["a"]) <= 45
+        a = sorted(tuple(r) for r in out)
+        b = sorted(tuple(r) for r in
+                   X.mix_corpus(df.repartition(7), weights,
+                                budget_tokens=1000).collect())
+        assert a == b
+
     def test_chunk_documents_semantics(self, spark):
         """Crafted lengths pin the containment rule: a trailing window
         is emitted only when it extends past its predecessor, nulls
