@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from . import dedup as D
 from . import normalize as N
+from . import relops as R
 from . import textops as X
 
 
@@ -1267,6 +1268,200 @@ FROM scored WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_span_dedup(spark, sf):
+    """Exact duplicate-substring spans (textops.duplicate_spans):
+    every 8-token gram occurring anywhere earlier in the corpus marks
+    its position, consecutive marks merge to maximal spans — the
+    ExactSubstr dedup shape (Lee et al. 2022) at gram granularity.
+    The oracle replays the identical gram stream, first-occurrence
+    window and gaps-and-islands merge in DuckDB."""
+    docs = _t(spark, sf, "documents")
+    return (X.duplicate_spans(docs, n=8)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.col("span_start").cast("long").alias("span_start"),
+                    F.col("span_end").cast("long").alias("span_end"),
+                    F.col("n_grams").cast("long").alias("n_grams"))
+            .orderBy("doc_id", "span_start"))
+
+
+SQL_SPAN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))),
+                                    '\s+') AS t
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+        FROM toks)
+), dup AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, pos) AS rn
+        FROM g)
+  WHERE rn > 1
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id::BIGINT AS doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + 7)::BIGINT AS span_end, count(*)::BIGINT AS n_grams
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+def q_domain_cap(spark, sf):
+    """Per-domain document cap (textops.group_topk): keep the 40 best
+    docs per source by (quality desc, n_chars desc, doc_id) — the
+    anti-mega-site mixture guard — via the exact two-phase local-then-
+    global rank, never a |domains|-task full-frame window. Oracle is
+    the straight row_number window in DuckDB."""
+    docs = _t(spark, sf, "documents")
+    scored = docs.select("doc_id", "source", F.col("n_chars"),
+                         X.quality_score(F.col("text")).alias("quality"))
+    capped = X.group_topk(
+        scored, "source",
+        [F.col("quality").desc(), F.col("n_chars").desc(),
+         F.col("doc_id").asc()], k=40)
+    return (capped.select(F.col("doc_id").cast("long").alias("doc_id"),
+                          "source", "quality",
+                          F.col("rank").cast("long").alias("rank"))
+            .orderBy("source", "rank"))
+
+
+SQL_DOMAIN_CAP = r"""
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         round(((CASE WHEN length(text) BETWEEN 80 AND 20000
+                      THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN length(text) / greatest(
+                        CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(
+                                      trim(lower(text)), '\s+')) END, 1)
+                      BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN (length(text) - length(regexp_replace(
+                             text, '[.,!?;:]', '', 'g')))
+                           / greatest(length(text), 1) <= 0.1
+                      THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN (length(text) - length(regexp_replace(
+                             text, '[A-Z]', '', 'g')))
+                           / greatest(length(text), 1) <= 0.3
+                      THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality
+  FROM documents
+), r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, n_chars DESC,
+                                     doc_id ASC) AS rank
+  FROM b
+)
+SELECT doc_id::BIGINT AS doc_id, source, quality, rank::BIGINT AS rank
+FROM r WHERE rank <= 40 ORDER BY source, rank
+"""
+
+
+def q_events_asof(spark, sf):
+    """As-of join (relops.asof_join): each purchase event picks the
+    user's latest click at-or-before it — the operator Spark lacks as
+    a primitive, here the union + per-key window carry-forward with
+    ONE shuffle; the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+    two independent formulations must agree row-for-row. Clicks are
+    pre-aggregated to one row per (user, ts) (max event_id wins) to
+    pin tie semantics in both engines."""
+    e = _t(spark, sf, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id"),
+                   F.round(F.max_by("value", "event_id"), 2)
+                   .alias("click_value"))
+              .select("user_id", F.col("ts").alias("cts"),
+                      "click_id", F.col("ts").alias("click_ts"),
+                      "click_value"))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts"))
+    j = R.asof_join(purchases, clicks, on="user_id",
+                    left_ts="ts", right_ts="cts", suffix="")
+    # exact microseconds on both engines (NTZ -> timestamp under the
+    # session's pinned UTC; unix_timestamp would truncate sub-seconds)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (j.select(F.col("event_id").cast("long").alias("event_id"),
+                     F.col("user_id").cast("long").alias("user_id"),
+                     us("ts").alias("ts_us"),
+                     F.col("click_id").cast("long").alias("click_id"),
+                     "click_value",
+                     (us("ts") - us("click_ts")).cast("long")
+                     .alias("gap_us"))
+            .orderBy("event_id"))
+
+
+SQL_EVENTS_ASOF = """
+WITH c AS (
+  SELECT user_id, ts, max(event_id)::BIGINT AS click_id,
+         round(arg_max(value, event_id), 2) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT user_id, event_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+       epoch_us(p.ts)::BIGINT AS ts_us, c.click_id, c.click_value,
+       (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY event_id
+"""
+
+
+def q_entity_rank(spark, sf):
+    """Iterative PageRank (relops.entity_rank) over the user-item
+    interaction graph pulled from the events props JSON — the
+    host-rank term of the reference frontier priority computed from a
+    graph instead of config order (internal/config/sites.go). The
+    bipartite edge set is symmetrized through ONE explode (no
+    self-union re-running the extraction), 5 damped iterations; the
+    oracle replays them with a recursive CTE (aggregate-in-recursion),
+    round(6) absorbing float sum-order drift."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    e0 = (e.filter(k.isNotNull())
+          .select(F.concat(F.lit("u"), F.col("user_id")).alias("src"),
+                  F.concat(F.lit("i"), k).alias("dst")))
+    edges = (e0.select(F.explode(F.array(
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst"))))
+        .alias("_e")).select("_e.src", "_e.dst").distinct())
+    return (R.entity_rank(edges, iters=5, damping=0.85)
+            .select("node", F.round("rank", 6).alias("rank"))
+            .orderBy("node"))
+
+
+SQL_ENTITY_RANK = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 'u' || user_id AS src,
+         'i' || json_extract_string(props, '$.k') AS dst
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+), edges AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), deg AS (
+  SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pr AS (
+  SELECT 0 AS it, node, 1.0 / (SELECT n FROM n) AS rank FROM nodes
+  UNION ALL
+  SELECT p.it + 1, e.dst AS node,
+         0.15 / (SELECT n FROM n) + 0.85 * sum(p.rank / d.deg)
+  FROM pr p
+  JOIN edges e ON e.src = p.node
+  JOIN deg d ON d.src = p.node
+  WHERE p.it < 5
+  GROUP BY p.it, e.dst
+)
+SELECT node, round(rank, 6) AS rank FROM pr WHERE it = 5 ORDER BY node
+"""
+
+
 def q_doc_stats(spark, sf):
     """Text analysis: token count, char count, quality score, language."""
     docs = _t(spark, sf, "documents")
@@ -2076,6 +2271,10 @@ QUERIES = {
     "seq_pack": (q_seq_pack, SQL_SEQ_PACK),
     "corpus_mix": (q_corpus_mix, SQL_CORPUS_MIX),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "span_dedup": (q_span_dedup, SQL_SPAN_DEDUP),
+    "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+    "entity_rank": (q_entity_rank, SQL_ENTITY_RANK),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),

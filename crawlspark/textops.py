@@ -1095,3 +1095,78 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         PII_IPV4_RX, "<IP>")
     return df.select(F.col(key_col), clean.alias("clean_text"),
                      n_pii.cast("long").alias("n_pii"))
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring spans / per-group caps
+# ---------------------------------------------------------------------------
+def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
+                    key_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at
+    n-gram granularity): every position whose n-token gram occurs
+    anywhere earlier in the corpus — an earlier (key, pos), including
+    earlier in the SAME doc — is a duplicate position; consecutive
+    duplicate positions merge into maximal spans. Returns one row per
+    span: (key, span_start, span_end, n_grams) in token coordinates,
+    span covering tokens [span_start, span_end] inclusive. The
+    canonical first occurrence of each gram is NOT marked, so cutting
+    every reported span keeps exactly one copy of each duplicated
+    substring run.
+
+    Shape: posexplode the gram stream once -> ONE window min over
+    struct(key, pos) keyed by gram content (an aggregate frame, no
+    per-partition sort — cheaper than row_number; same corpus-keyed
+    exchange as paragraph_dedup, AQE handles boilerplate-gram skew)
+    -> filter non-first -> per-doc gaps-and-islands (pos minus
+    row_number is constant within a consecutive run) -> one grouped
+    agg per island. Two shuffles total (gram key, then doc key), both
+    on bounded partitions."""
+    toks = tokens_expr(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(key_col).alias("key"),
+                   F.posexplode(grams).alias("pos", "g"))
+    wg = Window.partitionBy("g")
+    dup = (ex.withColumn("_first", F.min(F.struct("key", "pos")).over(wg))
+           .filter(~((F.col("key") == F.col("_first.key"))
+                     & (F.col("pos") == F.col("_first.pos"))))
+           .select("key", "pos"))
+    wi = Window.partitionBy("key").orderBy("pos")
+    isl = dup.withColumn("_grp", F.col("pos") - F.row_number().over(wi))
+    return (isl.groupBy("key", "_grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+                 F.count("*").alias("n_grams"))
+            .drop("_grp"))
+
+
+def group_topk(df: DataFrame, group_col: str, order_cols: list[Column],
+               k: int) -> DataFrame:
+    """Per-group top-k WITHOUT a full-frame per-group window sort —
+    the per-domain document cap every crawled-corpus pipeline applies
+    (keep the k best pages per host so one mega-site cannot dominate
+    the training mix).
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak
+    key) — with ties at rank k the two phases could keep different
+    row sets.
+
+    Two-phase, exact (same argument as politeness.schedule's
+    two_phase budget): phase 1 ranks per (group, INPUT PARTITION) —
+    a row outside its partition's local top-k cannot be in the global
+    top-k, so it is dropped before any corpus-wide exchange; phase 2
+    ranks the <= k x n_partitions survivors per group. With
+    domain-count << corpus-size the naive single window collapses a
+    100 TB corpus onto |domains| sort tasks; phase 1 keeps every
+    input partition busy and bounds what phase 2 sorts."""
+    wl = (Window.partitionBy(F.col(group_col), F.spark_partition_id())
+          .orderBy(*order_cols))
+    survivors = (df.withColumn("_lrn", F.row_number().over(wl))
+                 .filter(F.col("_lrn") <= k).drop("_lrn"))
+    wg = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (survivors.withColumn("rank", F.row_number().over(wg))
+            .filter(F.col("rank") <= k))

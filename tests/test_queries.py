@@ -22,11 +22,13 @@ def duck():
 
 
 def _norm(v):
+    # stringify like the driver's pandas astype(str) canon: mixed
+    # None/int columns (nullable join payloads) must still sort
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 4)
-    return v
+        return str(round(v, 4))
+    return str(v)
 
 
 def _rows(df_rows, cols):
