@@ -1462,6 +1462,59 @@ SELECT node, round(rank, 6) AS rank FROM pr WHERE it = 5 ORDER BY node
 """
 
 
+def q_range_join(spark, sf):
+    """Bucketed range join (relops.interval_join): every error event
+    opens a 10-minute window; count and sum the same user's clicks
+    inside it. Spark plans the bare containment predicate as a
+    nested-loop join, so the operator decomposes it into an equi-join
+    on (user, time-bucket) with an exact post-filter; the oracle IS
+    the naive inequality join in DuckDB — the two formulations must
+    agree row-for-row."""
+    e = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    errors = (e.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("event_id").alias("win_id"),
+                      us.alias("w_start"),
+                      (us + F.lit(600_000_000)).alias("w_end")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", us.alias("p_ts"), "value"))
+    j = R.interval_join(clicks, errors, on="user_id", point_ts="p_ts",
+                        start_col="w_start", end_col="w_end",
+                        bucket_us=600_000_000)
+    agg = (j.groupBy(F.col("win_id_i").alias("win_id"))
+           .agg(F.count("*").alias("n_clicks"),
+                F.round(F.sum("value"), 2).alias("click_value")))
+    return (errors.join(agg, errors["win_id"] == agg["win_id"], "left")
+            .select(errors["win_id"].cast("long").alias("win_id"),
+                    F.col("user_id").cast("long").alias("user_id"),
+                    F.col("w_start").cast("long").alias("w_start"),
+                    F.coalesce("n_clicks", F.lit(0)).cast("long")
+                    .alias("n_clicks"),
+                    F.coalesce("click_value", F.lit(0.0))
+                    .alias("click_value"))
+            .orderBy("win_id"))
+
+
+SQL_RANGE_JOIN = """
+WITH er AS (
+  SELECT user_id, event_id AS win_id, epoch_us(ts) AS w_start,
+         epoch_us(ts) + 600000000 AS w_end
+  FROM events WHERE event_type = 'error'
+), cl AS (
+  SELECT user_id, epoch_us(ts) AS p_ts, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT er.win_id::BIGINT AS win_id, er.user_id::BIGINT AS user_id,
+       er.w_start::BIGINT AS w_start,
+       count(cl.p_ts)::BIGINT AS n_clicks,
+       coalesce(round(sum(cl.value), 2), 0.0) AS click_value
+FROM er LEFT JOIN cl ON cl.user_id = er.user_id
+     AND cl.p_ts >= er.w_start AND cl.p_ts < er.w_end
+GROUP BY er.win_id, er.user_id, er.w_start
+ORDER BY win_id
+"""
+
+
 def q_doc_stats(spark, sf):
     """Text analysis: token count, char count, quality score, language."""
     docs = _t(spark, sf, "documents")
@@ -2275,6 +2328,7 @@ QUERIES = {
     "domain_cap": (q_domain_cap, SQL_DOMAIN_CAP),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "entity_rank": (q_entity_rank, SQL_ENTITY_RANK),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),

@@ -121,3 +121,47 @@ def entity_rank(edges: DataFrame, iters: int = 5,
                           + damping * F.coalesce("_s", F.lit(0.0)))
                          .alias("rank")))
     return ranks
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, on: str,
+                  point_ts: str, start_col: str, end_col: str,
+                  bucket_us: int = 600_000_000,
+                  suffix: str = "_i") -> DataFrame:
+    """Range (interval-containment) join: each point row pairs with
+    every interval row of the same ``on`` key whose
+    [start, end) contains its timestamp — half-open, end exclusive.
+    All three time columns are epoch-microsecond longs.
+
+    Spark plans a bare `p.ts >= i.start AND p.ts < i.end` predicate as
+    a nested-loop join (per key it is O(points x intervals) — at
+    crawl-log scale that is the plan that never finishes). This is the
+    standard bucketed decomposition instead: points hash to
+    floor(ts / bucket_us); intervals EXPLODE onto every bucket their
+    span overlaps; the pair join is then a plain equi-join on
+    (key, bucket) with the exact containment predicate as a cheap
+    post-filter. Equi-join => hash shuffle + whole-stage codegen, and
+    AQE can split skewed buckets.
+
+    Pick ``bucket_us`` near the typical interval length: an interval
+    explodes onto span/bucket_us + 1 rows (duplication factor ~2 at
+    the default), while points never duplicate — so the blow-up sits
+    on the (usually far smaller) interval side.
+
+    Returns point rows + interval payload columns (suffixed); points
+    inside k overlapping intervals appear k times — aggregate on the
+    interval key downstream for per-interval rollups."""
+    b = F.lit(int(bucket_us))
+    ipay = [c for c in intervals.columns if c != on]
+    iex = intervals.select(
+        F.col(on),
+        F.explode(F.sequence(F.floor(F.col(start_col) / b),
+                             F.floor((F.col(end_col) - 1) / b)))
+        .alias("_bkt"),
+        F.struct(*[F.col(c) for c in ipay]).alias("_ipay"))
+    pex = points.withColumn("_bkt", F.floor(F.col(point_ts) / b))
+    j = (pex.join(iex, [on, "_bkt"])
+         .filter((F.col(point_ts) >= F.col(f"_ipay.{start_col}"))
+                 & (F.col(point_ts) < F.col(f"_ipay.{end_col}"))))
+    out = [F.col(c) for c in points.columns] \
+        + [F.col(f"_ipay.{c}").alias(f"{c}{suffix}") for c in ipay]
+    return j.select(*out)

@@ -173,3 +173,59 @@ def test_duplicate_spans_short_and_empty_docs(spark):
     out = X.duplicate_spans(docs, n=8).collect()
     assert [(r.key, r.span_start, r.span_end, r.n_grams)
             for r in out] == [(4, 0, 7, 1)]
+
+
+def test_interval_join_matches_naive(spark):
+    """Bucketed decomposition equals the naive theta join, including
+    intervals spanning multiple buckets, overlapping intervals
+    (point duplication), boundary semantics, and empty windows."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    pts = pd.DataFrame({
+        "k": rng.randint(0, 5, 600).astype("int64"),
+        "t": rng.randint(0, 10_000, 600).astype("int64"),
+        "pid": np.arange(600).astype("int64")})
+    s = rng.randint(0, 9_500, 80).astype("int64")
+    iv = pd.DataFrame({
+        "k": rng.randint(0, 5, 80).astype("int64"),
+        "s": s, "e": s + rng.randint(1, 3_000, 80).astype("int64"),
+        "iid": np.arange(80).astype("int64")})
+    got = (R.interval_join(spark.createDataFrame(pts),
+                           spark.createDataFrame(iv), on="k",
+                           point_ts="t", start_col="s", end_col="e",
+                           bucket_us=1000)
+           .select("pid", "iid_i").toPandas())
+    naive = pts.merge(iv, on="k")
+    naive = naive[(naive.t >= naive.s) & (naive.t < naive.e)]
+    assert sorted(map(tuple, got.values.tolist())) == \
+        sorted(map(tuple, naive[["pid", "iid"]].values.tolist()))
+
+
+def test_interval_join_boundary_semantics(spark):
+    """start inclusive, end exclusive — points exactly at the edges."""
+    pts = spark.createDataFrame([(1, 100, 0), (1, 200, 1), (1, 199, 2)],
+                                "k long, t long, pid long")
+    iv = spark.createDataFrame([(1, 100, 200, 7)],
+                               "k long, s long, e long, iid long")
+    got = sorted(r.pid for r in R.interval_join(
+        pts, iv, on="k", point_ts="t", start_col="s", end_col="e",
+        bucket_us=50).collect())
+    assert got == [0, 2]
+
+
+def test_interval_join_is_equi_join_in_plan(spark):
+    """The physical plan must be a hash/sort-merge equi-join — never
+    the nested-loop plan the bare containment predicate produces."""
+    pts = spark.range(100).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 37 % 1000).alias("t"),
+        F.col("id").alias("pid"))
+    iv = spark.range(10).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") * 91 % 800).alias("s"),
+        (F.col("id") * 91 % 800 + 120).alias("e"), F.col("id").alias("iid"))
+    plan = R.interval_join(pts, iv, on="k", point_ts="t", start_col="s",
+                           end_col="e", bucket_us=100) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
