@@ -585,3 +585,30 @@ def simhash_dup_classes(df: DataFrame, text_col: str = "text",
             .select(F.col("key").alias("k"), "sh"))
     rep_pairs = _banded_pairs(reps, bands, max_hamming)
     return classes.select("key", "rep", "group_size"), rep_pairs
+
+
+def keep_best_per_cluster(labels: DataFrame, scores: DataFrame) -> DataFrame:
+    """Cluster-aware retention: given near-dup component labels
+    (``labels``: key, cluster — dup_clusters output) and per-doc
+    quality (``scores``: key, quality), mark exactly ONE survivor per
+    cluster — the highest quality, minimum key on ties. This is the
+    decision step every dedup pipeline ends with: the reference keeps
+    first-seen (deduplicator.go:39-67 — arrival order IS its quality
+    order); a training-data pipeline keeps the best-scored copy.
+
+    Per-cluster argmax via ONE grouped max_by on the (quality, -key)
+    struct — partial+final aggregated, so a pathological mega-cluster
+    (a boilerplate page duplicated across half the crawl) is combined
+    map-side instead of serializing through a single window-sort task
+    — then an equi-join back on cluster. (quality, -key) is a total
+    order, so the winner is deterministic at any parallelism."""
+    j = (labels.join(scores, "key")
+         .select("key", "cluster", "quality"))
+    winners = (j.groupBy("cluster")
+               .agg(F.max_by(
+                   "key", F.struct(F.col("quality"),
+                                   (-F.col("key")).alias("_nk")))
+                   .alias("_best")))
+    return (j.join(winners, "cluster")
+            .select("key", "cluster", "quality",
+                    (F.col("key") == F.col("_best")).alias("kept")))

@@ -2280,6 +2280,213 @@ FROM verdict ORDER BY doc_id
 """
 
 
+def q_len_histogram(spark, sf):
+    """Power-of-two token-length histogram (textops.length_histogram):
+    the sequence-length planning table. Bucket = floor(log2(tokens))
+    via integer bit-length in BOTH engines (length(bin(n)) - 1) — no
+    float log2 anywhere, so power-of-two boundaries cannot flip."""
+    docs = _t(spark, sf, "documents")
+    return (X.length_histogram(docs)
+            .orderBy("bucket"))
+
+
+SQL_LEN_HISTOGRAM = r"""
+WITH n AS (
+  SELECT CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+         AS n_tok
+  FROM documents
+)
+SELECT (length(bin(greatest(n_tok, 1))) - 1)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens,
+       min(n_tok)::BIGINT AS min_tokens,
+       max(n_tok)::BIGINT AS max_tokens
+FROM n GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_inverted_index(spark, sf):
+    """Positional inverted index build (textops.build_inverted_index):
+    token -> (df, cf, "doc:tf:p0|p1;..." postings), df-capped at 80%
+    of the corpus (stopword elision — the guard that keeps a mega-
+    token's posting list out of a single reduce task at corpus scale;
+    fractional so the demonstration survives every SF). The oracle
+    rebuilds the identical postings strings with ordered string_aggs."""
+    docs = _t(spark, sf, "documents")
+    cap = int(docs.count() * 0.8)
+    return (X.build_inverted_index(docs, df_cap=cap)
+            .orderBy("w"))
+
+
+SQL_INVERTED_INDEX = r"""
+WITH toks0 AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks0)
+), per_doc AS (
+  SELECT w, doc_id, count(*) AS tf,
+         string_agg(pos::VARCHAR, '|' ORDER BY pos) AS plist
+  FROM toks GROUP BY w, doc_id
+)
+SELECT w, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+       string_agg(doc_id || ':' || tf || ':' || plist, ';' ORDER BY doc_id)
+         AS postings
+FROM per_doc GROUP BY w
+HAVING count(*) <= (SELECT floor(count(*) * 0.8) FROM documents)
+ORDER BY w
+"""
+
+
+def q_lm_buckets(spark, sf):
+    """CCNet head/middle/tail bucketing (textops.grouped_ntile over
+    textops.lm_quality_score): per-language terciles of LM score via
+    the DISTRIBUTED exact ntile — global range partition on (score,
+    key), per-partition local rank, broadcast offsets, integer NTILE
+    closed form — never a one-task-per-language window sort. The
+    oracle is DuckDB's own ntile(3) window over the identical score."""
+    docs = _t(spark, sf, "documents")
+    scored = (X.lm_quality_score(docs, vocab_k=1000)
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .select("doc_id", "lang", "lm_score"))
+    labeled = X.grouped_ntile(scored, "lang", ["lm_score", "doc_id"],
+                              n_buckets=3)
+    return (labeled.select(
+                F.col("doc_id").cast("long").alias("doc_id"), "lang",
+                "lm_score",
+                F.when(F.col("bucket") == 1, "head")
+                 .when(F.col("bucket") == 2, "middle")
+                 .otherwise("tail").alias("bucket"))
+            .orderBy("doc_id"))
+
+
+SQL_LM_BUCKETS = f"""
+WITH scored AS ({SQL_DOC_LM_SCORE}),
+j AS (
+  SELECT s.doc_id, d.lang, s.lm_score
+  FROM scored s JOIN documents d USING (doc_id)
+), b AS (
+  SELECT doc_id, lang, lm_score,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY lm_score, doc_id) AS nt
+  FROM j
+)
+SELECT doc_id::BIGINT AS doc_id, lang, lm_score,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+FROM b ORDER BY doc_id
+"""
+
+
+def q_dedup_keep_best(spark, sf):
+    """End-to-end dedup retention (dedup.keep_best_per_cluster over
+    dedup.dup_clusters over textops.minhash_lsh_pairs): LSH near-dup
+    pairs -> connected components -> keep the best-quality doc per
+    component (min doc_id on ties) — the full keep/drop decision a
+    training corpus dedup pass emits. Cluster argmax is a grouped
+    max_by (partial-agg'd, mega-cluster-safe), never a per-cluster
+    window sort. The oracle replays components with the recursive CTE
+    and the argmax with a row_number window."""
+    docs = _t(spark, sf, "documents")
+    pairs = (X.minhash_lsh_pairs(docs, num_perm=8, bands=4,
+                                 jaccard_threshold=0.5)
+             .select(F.col("id_a").alias("key_a"),
+                     F.col("id_b").alias("key_b")))
+    nodes = docs.select(F.col("doc_id").alias("key"))
+    labels = D.dup_clusters(nodes, pairs)
+    scores = docs.select(F.col("doc_id").alias("key"),
+                         X.quality_score(F.col("text")).alias("quality"))
+    return (D.keep_best_per_cluster(labels, scores)
+            .select(F.col("key").cast("long").alias("doc_id"),
+                    F.col("cluster").cast("long").alias("cluster"),
+                    "quality", "kept")
+            .orderBy("doc_id"))
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS ({SQL_DOC_LSH_PAIRS}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+),
+labels AS (
+  SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY id
+),
+q AS (
+  SELECT doc_id,
+         round(((CASE WHEN length(text) BETWEEN 80 AND 20000
+                      THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN length(text) / greatest(
+                        CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(
+                                      trim(lower(text)), '\\s+')) END, 1)
+                      BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN (length(text) - length(regexp_replace(
+                             text, '[.,!?;:]', '', 'g')))
+                           / greatest(length(text), 1) <= 0.1
+                      THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN (length(text) - length(regexp_replace(
+                             text, '[A-Z]', '', 'g')))
+                           / greatest(length(text), 1) <= 0.3
+                      THEN 1.0 ELSE 0.0 END)) / 4.0, 4) AS quality
+  FROM documents
+),
+r AS (
+  SELECT l.doc_id, l.cluster, q.quality,
+         row_number() OVER (PARTITION BY l.cluster
+                            ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+  FROM labels l JOIN q USING (doc_id)
+)
+SELECT doc_id::BIGINT AS doc_id, cluster::BIGINT AS cluster,
+       quality, rn = 1 AS kept
+FROM r ORDER BY doc_id
+"""
+
+
+def q_pmi_bigrams(spark, sf):
+    """Top-50 bigram collocations by PMI (textops.pmi_bigrams),
+    min bigram count 5. PMI rounded to 4 before the ordering, ties
+    broken by bigram text — the top-k set is engine- and parallelism-
+    stable. Oracle replays the identical probability arithmetic."""
+    docs = _t(spark, sf, "documents")
+    return X.pmi_bigrams(docs, min_count=5, k=50)
+
+
+SQL_PMI_BIGRAMS = r"""
+WITH toks0 AS (
+  SELECT string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks0) GROUP BY w
+), big AS (
+  SELECT array_to_string(t[i:i+1], ' ') AS bg, count(*) AS cb
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks0 WHERE len(t) >= 2)
+  GROUP BY bg
+), nu AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+   nb AS (SELECT sum(cb)::DOUBLE AS n FROM big),
+sp AS (
+  SELECT bg, cb, string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2
+  FROM big WHERE cb >= 5
+)
+SELECT sp.bg AS bigram, sp.cb::BIGINT AS n,
+       round(log2((sp.cb / nb.n)
+                  / ((u1.c / nu.n) * (u2.c / nu.n))), 4) AS pmi
+FROM sp, nu, nb
+JOIN uni u1 ON u1.w = sp.w1
+JOIN uni u2 ON u2.w = sp.w2
+ORDER BY pmi DESC, bigram LIMIT 50
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2331,6 +2538,11 @@ QUERIES = {
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "len_histogram": (q_len_histogram, SQL_LEN_HISTOGRAM),
+    "lm_buckets": (q_lm_buckets, SQL_LM_BUCKETS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

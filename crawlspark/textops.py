@@ -1170,3 +1170,165 @@ def group_topk(df: DataFrame, group_col: str, order_cols: list[Column],
     wg = Window.partitionBy(group_col).orderBy(*order_cols)
     return (survivors.withColumn("rank", F.row_number().over(wg))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Search-index + corpus-shape operators (round 5, session 3)
+# ---------------------------------------------------------------------------
+def length_histogram(df: DataFrame, text_col: str = "text") -> Column:
+    """Power-of-two token-length histogram — the sequence-length
+    planning table (how many docs land in each 2^k token band drives
+    the packing budget and the truncation loss estimate before a
+    training run).
+
+    The bucket is INTEGER-exact: floor(log2(n)) computed as
+    length(bin(n)) - 1, never a float log2 — libm log2 of an exact
+    power of two can land an ulp under the integer in one engine and
+    flip the floor against the oracle. One map-side-combined
+    aggregate over a narrow projection; no shuffle beyond the final
+    |buckets|-row exchange. Scales trivially."""
+    n = token_count(F.col(text_col)).cast("long")
+    bucket = (F.length(F.bin(F.greatest(n, F.lit(1)))) - 1).cast("long")
+    return (df.select(bucket.alias("bucket"), n.alias("_n"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_n").cast("long").alias("total_tokens"),
+                 F.min("_n").cast("long").alias("min_tokens"),
+                 F.max("_n").cast("long").alias("max_tokens")))
+
+
+def build_inverted_index(df: DataFrame, text_col: str = "text",
+                         key_col: str = "doc_id",
+                         df_cap: int | None = None) -> DataFrame:
+    """Positional inverted index: token -> (df, cf, postings) where
+    postings = ";"-joined "doc:tf:p0|p1|..." entries in doc order —
+    the search-engine build step over the crawled corpus (the engine's
+    batch twin of the reference's Elasticsearch index, SURVEY §2 K2 /
+    Q1/Q4 serving side; reference internal/repository/
+    es_repository.go ships documents to ES and lets ES build this).
+
+    Two grouped aggregates, both partial+final: (1) positions per
+    (token, doc) — bounded by document length; (2) postings per token.
+    ``df_cap`` is the stopword-elision guard: a token appearing in
+    every page of a 10^10-doc corpus would otherwise collect a
+    posting list the size of the corpus into ONE reduce task. Capped
+    build drops tokens with df > df_cap (their postings are pure
+    noise for retrieval scoring); an uncapped production build would
+    shard mega-token postings by doc-range before collecting. The
+    postings string is deterministic: positions sorted numerically,
+    entries sorted by doc id."""
+    toks = df.select(
+        F.col(key_col).alias("_id"),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("pos", "w"))
+    per_doc = (toks.groupBy("w", "_id")
+               .agg(F.count("*").cast("long").alias("tf"),
+                    F.array_join(F.array_sort(F.collect_list("pos")),
+                                 "|").alias("plist")))
+    idx = (per_doc.groupBy("w")
+           .agg(F.count("*").cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("_id", "tf", "plist"))),
+                        lambda s: F.concat_ws(
+                            ":", s["_id"], s["tf"], s["plist"])),
+                    ";").alias("postings")))
+    if df_cap is not None:
+        idx = idx.filter(F.col("df") <= F.lit(df_cap))
+    return idx
+
+
+def grouped_ntile(df: DataFrame, part_col: str, order_cols: list[str],
+                  n_buckets: int = 3,
+                  num_partitions: int | None = None) -> DataFrame:
+    """Exact per-group ntile WITHOUT a one-task-per-group window — the
+    CCNet head/middle/tail perplexity bucketing step (Wenzek et al.,
+    'CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data': per-language terciles of LM score decide what is
+    kept, what is mined, what is dropped).
+
+    `Window.partitionBy(lang)` puts each language in ONE sort task —
+    at 100 TB the English partition is ~half the corpus through a
+    single thread. This is instead the seq_pack distributed-rank
+    shape: global range partition on ``order_cols`` (a total order —
+    include a unique key), per-(input-partition, group) local
+    row_number, collect the P x |groups| count table (numbers, not
+    rows), broadcast exclusive offsets back, rank = offset + local.
+    A mega-group spreads across ALL partitions, so skew in the group
+    column cannot serialize the sort. The bucket is then pure integer
+    arithmetic on (rank, group_total) — the exact SQL NTILE closed
+    form (first total%n buckets get the +1 row), no float quantile
+    interpolation to drift an ulp against an oracle.
+
+    ``order_cols`` must totally order rows (ties across engines would
+    otherwise bucket nondeterministically). Returns df + (rank,
+    bucket), rank 1-based within part_col, bucket in [1, n_buckets]."""
+    sess = df.sparkSession
+    p = num_partitions or sess.sparkContext.defaultParallelism
+    oc = [F.col(c) for c in order_cols]
+    parted = (df.repartitionByRange(p, *oc)
+              .withColumn("_pid", F.spark_partition_id()))
+    w = Window.partitionBy("_pid", part_col).orderBy(*oc)
+    local = parted.withColumn("_lrn", F.row_number().over(w)).persist()
+    cnts = (local.groupBy("_pid", part_col).count()
+            .orderBy("_pid").collect())
+    seen: dict = {}
+    rows = []
+    for r in cnts:
+        g = r[part_col]
+        rows.append((r["_pid"], g, seen.get(g, 0)))
+        seen[g] = seen.get(g, 0) + r["count"]
+    off_df = sess.createDataFrame(
+        [(pid, g, off, seen[g]) for (pid, g, off) in rows],
+        f"_pid int, {part_col} string, _off long, _tot long")
+    nb = int(n_buckets)
+    bucket = F.expr(
+        f"CASE WHEN _tot div {nb} = 0 THEN _rank "
+        f"WHEN _rank <= (_tot % {nb}) * (_tot div {nb} + 1) "
+        f"  THEN (_rank - 1) div (_tot div {nb} + 1) + 1 "
+        f"ELSE (_tot % {nb}) + (_rank - (_tot % {nb}) * (_tot div {nb} + 1) - 1) "
+        f"     div (_tot div {nb}) + 1 END")
+    return (local.join(F.broadcast(off_df), ["_pid", part_col])
+            .withColumn("_rank", (F.col("_off") + F.col("_lrn")).cast("long"))
+            .withColumn("bucket", bucket.cast("long"))
+            .drop("_pid", "_lrn", "_off", "_tot")
+            .withColumnRenamed("_rank", "rank"))
+
+
+def pmi_bigrams(df: DataFrame, text_col: str = "text",
+                min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the phrase-mining / tokenizer-vocab-seeding analysis
+    (Mikolov et al.'s phrase detection runs exactly this shape).
+    PMI(a,b) = log2( p(a,b) / (p(a) p(b)) ), bigram probabilities over
+    adjacent pairs, unigram over tokens.
+
+    One explode+count per order (both partial-aggregated), two equi-
+    joins of the bigram table against the unigram counts (vocab-sized,
+    orders of magnitude under the corpus), totals via 1-row broadcast
+    cross joins (the tfidf_topk pattern), then a TakeOrderedAndProject
+    top-k — never a global sort. PMI is ROUNDED BEFORE the ordering
+    and tie-broken by bigram text, so the top-k row SET is stable
+    across engines and parallelism (an unrounded float order could
+    flip the k-boundary on a last-ulp libm difference)."""
+    t = F.col(text_col)
+    toks = df.select(F.explode(tokens_expr(t)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    big = (df.select(F.explode(ngrams_all(t, 2)).alias("bg"))
+           .groupBy("bg").agg(F.count("*").cast("long").alias("cb")))
+    nu = uni.agg(F.sum("c").cast("double").alias("_nu"))
+    nb = big.agg(F.sum("cb").cast("double").alias("_nb"))
+    sp = (big.filter(F.col("cb") >= min_count)
+          .withColumn("_w1", F.split("bg", " ")[0])
+          .withColumn("_w2", F.split("bg", " ")[1]))
+    u1 = uni.select(F.col("w").alias("_w1"), F.col("c").alias("_c1"))
+    u2 = uni.select(F.col("w").alias("_w2"), F.col("c").alias("_c2"))
+    pmi = F.round(F.log2(
+        (F.col("cb") / F.col("_nb"))
+        / ((F.col("_c1") / F.col("_nu")) * (F.col("_c2") / F.col("_nu")))), 4)
+    return (sp.crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(nb))
+            .join(u1, "_w1").join(u2, "_w2")
+            .select(F.col("bg").alias("bigram"),
+                    F.col("cb").alias("n"), pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "bigram").limit(k))

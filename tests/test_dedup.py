@@ -365,3 +365,24 @@ class TestSimhashMultiplicity:
         expected = D.simhash64_py("alpha beta gamma")
         assert hashes[0] == ("u1", expected) and hashes[1] == ("u1", expected)
         assert hashes[2][0] == "u2"
+
+
+class TestKeepBestPerCluster:
+    def test_one_survivor_per_cluster_ties_min_key(self, spark):
+        """Highest quality wins; ties break to the MINIMUM key — a
+        total order, so the survivor set is parallelism-independent."""
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+            "key long, cluster long")
+        scores = spark.createDataFrame(
+            [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.1), (6, 0.3)],
+            "key long, quality double")
+        out = D.keep_best_per_cluster(labels, scores)
+        kept = sorted(r.key for r in out.filter("kept").collect())
+        assert kept == [2, 4, 6]
+        # every input row present, exactly one survivor per cluster
+        assert out.count() == 6
+        per = {r.cluster: r.n for r in
+               out.filter("kept").groupBy("cluster")
+                  .agg(F.count("*").alias("n")).collect()}
+        assert per == {1: 1, 4: 1, 6: 1}

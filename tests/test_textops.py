@@ -569,3 +569,66 @@ class TestCorpusHygiene:
         assert got[2].clean_text == "ip-like domain user@<IP> stays one email"
         assert got[2].n_pii == 1
         assert got[3].n_pii == 0 and got[4].clean_text == ""
+
+
+class TestCorpusShapeOps:
+    """Round-5 session-3 operators: length histogram, inverted index,
+    distributed ntile, PMI collocations."""
+
+    def test_length_histogram_power_of_two_exact(self, spark):
+        # bucket boundaries are integer bit-length, so n=1024 must land
+        # in bucket 10 with no float-log2 ulp flip; empty/null -> n=0,
+        # clamped into bucket 0
+        rows = [(1, "a"), (2, "a b"), (3, "a b c"),
+                (4, " ".join(["t"] * 1024)), (5, " ".join(["t"] * 1025)),
+                (6, ""), (7, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.bucket: r for r in X.length_histogram(df).collect()}
+        assert set(got) == {0, 1, 10}
+        assert got[0].n_docs == 3 and got[0].min_tokens == 0 \
+            and got[0].max_tokens == 1 and got[0].total_tokens == 1
+        assert got[1].n_docs == 2 and got[1].total_tokens == 5
+        assert got[10].n_docs == 2 and got[10].min_tokens == 1024 \
+            and got[10].max_tokens == 1025
+
+    def test_inverted_index_postings_and_cap(self, spark):
+        rows = [(1, "the cat sat"), (2, "the dog"), (3, "the cat the")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = {r.w: r for r in X.build_inverted_index(df).collect()}
+        assert idx["the"].df == 3 and idx["the"].cf == 4
+        # entries in doc order, positions sorted and pipe-joined
+        assert idx["the"].postings == "1:1:0;2:1:0;3:2:0|2"
+        assert idx["cat"].postings == "1:1:1;3:1:1"
+        assert idx["sat"].df == 1 and idx["sat"].cf == 1
+        # df_cap elides the stopword-shaped token entirely
+        capped = {r.w for r in
+                  X.build_inverted_index(df, df_cap=2).collect()}
+        assert "the" not in capped and "cat" in capped
+
+    def test_grouped_ntile_matches_window_and_parallelism(self, spark):
+        from pyspark.sql import Window
+
+        rows = [(g, i, float((i * 37) % 13))
+                for g, n in (("a", 7), ("b", 5), ("c", 1), ("d", 12))
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, s double")
+        w = Window.partitionBy("lang").orderBy("s", "doc_id")
+        want = sorted(
+            (r.lang, r.doc_id, r.nt) for r in
+            df.withColumn("nt", F.ntile(3).over(w)).collect())
+        for p in (1, 8):
+            got = sorted(
+                (r.lang, r.doc_id, r.bucket) for r in
+                X.grouped_ntile(df, "lang", ["s", "doc_id"], 3,
+                                num_partitions=p).collect())
+            assert got == want, p
+
+    def test_pmi_bigrams_math(self, spark):
+        # unigrams: a,b,c,d x5 each (N=20); bigrams: "a b" x5, "c d" x5
+        # (NB=10). pmi("a b") = log2((5/10)/((5/20)^2)) = log2(8) = 3.0
+        rows = [(i, "a b") for i in range(5)] + \
+               [(i + 5, "c d") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.bigram: (r.n, r.pmi) for r in
+               X.pmi_bigrams(df, min_count=5, k=10).collect()}
+        assert got == {"a b": (5, 3.0), "c d": (5, 3.0)}
