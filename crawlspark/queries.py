@@ -2487,6 +2487,102 @@ ORDER BY pmi DESC, bigram LIMIT 50
 """
 
 
+def q_quality_quantiles(spark, sf):
+    """Exact per-language quality quantiles (textops.group_quantiles):
+    p25/p50/p75 of the heuristic quality score per lang — the corpus-QA
+    threshold table. Lower discrete quantile = value at rank
+    ceil(n*q/100) in (quality, doc_id) order, pure integer target
+    arithmetic; rank comes from the distributed grouped_rank (range
+    partition + broadcast offsets), never a per-language window sort.
+    The oracle replays the same rank/target arithmetic with windows."""
+    docs = _t(spark, sf, "documents")
+    scored = docs.select("lang", "doc_id",
+                         X.quality_score(F.col("text")).alias("q"))
+    return (X.group_quantiles(scored, "lang", "q", "doc_id")
+            .select("lang", "q_pct", F.col("value").alias("quality"))
+            .orderBy("lang", "q_pct"))
+
+
+SQL_QUALITY_QUANTILES = r"""
+WITH b AS (
+  SELECT doc_id, lang, length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         round(((CASE WHEN n_chars BETWEEN 80 AND 20000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN n_chars / greatest(n_tokens, 1) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.1 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN n_upper / greatest(n_chars, 1) <= 0.3 THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
+           AS q
+  FROM b
+), r AS (
+  SELECT lang, q, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s
+)
+SELECT lang, k.q_pct, q AS quality
+FROM r JOIN (VALUES (25), (50), (75)) AS k(q_pct)
+  ON rn = (n * k.q_pct + 99) // 100
+ORDER BY lang, k.q_pct
+"""
+
+
+def q_vocab_coverage(spark, sf):
+    """Tokenizer vocab-coverage curve (textops.vocab_coverage): for
+    k in {1,16,256,4096}, the fraction of corpus token occurrences the
+    top-k tokens cover. Corpus side is one partial-agg'd count; the
+    rank window runs only over the TakeOrdered max(k)-row vocab head;
+    the corpus total joins as a 1-row broadcast."""
+    docs = _t(spark, sf, "documents")
+    return X.vocab_coverage(docs).orderBy("k")
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), uni AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), tot AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+rk AS (
+  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS r FROM uni
+)
+SELECT k.k, count(*)::BIGINT AS vocab_used, sum(c)::BIGINT AS covered_tokens,
+       round(sum(c) / (SELECT t FROM tot), 6) AS coverage
+FROM rk JOIN (VALUES (1), (16), (256), (4096)) AS k(k) ON rk.r <= k.k
+GROUP BY k.k ORDER BY k.k
+"""
+
+
+def q_shard_plan(spark, sf):
+    """Deterministic training-shard assignment (textops.shard_plan):
+    global shuffle by md5(doc_id) split into 64-doc shards —
+    (doc_id, shard, pos_in_shard), bit-reproducible at any
+    parallelism. Global rank via grouped_rank with a constant group
+    (range partition on the uniform hash), no SinglePartition stage.
+    The oracle is the plain row_number definition."""
+    docs = _t(spark, sf, "documents")
+    return (X.shard_plan(docs.select("doc_id"), "doc_id", 64)
+            .orderBy("doc_id"))
+
+
+SQL_SHARD_PLAN = r"""
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, ((rn - 1) // 64)::BIGINT AS shard,
+       ((rn - 1) % 64)::BIGINT AS pos_in_shard
+FROM r ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2543,6 +2639,9 @@ QUERIES = {
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "quality_quantiles": (q_quality_quantiles, SQL_QUALITY_QUANTILES),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

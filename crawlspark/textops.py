@@ -1264,6 +1264,28 @@ def grouped_ntile(df: DataFrame, part_col: str, order_cols: list[str],
     ``order_cols`` must totally order rows (ties across engines would
     otherwise bucket nondeterministically). Returns df + (rank,
     bucket), rank 1-based within part_col, bucket in [1, n_buckets]."""
+    nb = int(n_buckets)
+    bucket = F.expr(
+        f"CASE WHEN n_group div {nb} = 0 THEN rank "
+        f"WHEN rank <= (n_group % {nb}) * (n_group div {nb} + 1) "
+        f"  THEN (rank - 1) div (n_group div {nb} + 1) + 1 "
+        f"ELSE (n_group % {nb}) + (rank - (n_group % {nb}) * (n_group div {nb} + 1) - 1) "
+        f"     div (n_group div {nb}) + 1 END")
+    return (grouped_rank(df, part_col, order_cols, num_partitions)
+            .withColumn("bucket", bucket.cast("long"))
+            .drop("n_group"))
+
+
+def grouped_rank(df: DataFrame, part_col: str, order_cols: list[str],
+                 num_partitions: int | None = None) -> DataFrame:
+    """The distributed-rank primitive under grouped_ntile /
+    group_quantiles / shard_plan: exact 1-based rank within
+    ``part_col`` by ``order_cols`` (which must totally order rows)
+    plus the group total, computed WITHOUT a per-group window sort —
+    global range partition on the order columns, per-(partition,
+    group) local row_number, the P x |groups| count table collected
+    (numbers, not rows) and broadcast back as exclusive offsets.
+    Returns df + (rank long, n_group long)."""
     sess = df.sparkSession
     p = num_partitions or sess.sparkContext.defaultParallelism
     oc = [F.col(c) for c in order_cols]
@@ -1282,18 +1304,10 @@ def grouped_ntile(df: DataFrame, part_col: str, order_cols: list[str],
     off_df = sess.createDataFrame(
         [(pid, g, off, seen[g]) for (pid, g, off) in rows],
         f"_pid int, {part_col} string, _off long, _tot long")
-    nb = int(n_buckets)
-    bucket = F.expr(
-        f"CASE WHEN _tot div {nb} = 0 THEN _rank "
-        f"WHEN _rank <= (_tot % {nb}) * (_tot div {nb} + 1) "
-        f"  THEN (_rank - 1) div (_tot div {nb} + 1) + 1 "
-        f"ELSE (_tot % {nb}) + (_rank - (_tot % {nb}) * (_tot div {nb} + 1) - 1) "
-        f"     div (_tot div {nb}) + 1 END")
     return (local.join(F.broadcast(off_df), ["_pid", part_col])
-            .withColumn("_rank", (F.col("_off") + F.col("_lrn")).cast("long"))
-            .withColumn("bucket", bucket.cast("long"))
-            .drop("_pid", "_lrn", "_off", "_tot")
-            .withColumnRenamed("_rank", "rank"))
+            .withColumn("rank", (F.col("_off") + F.col("_lrn")).cast("long"))
+            .withColumn("n_group", F.col("_tot").cast("long"))
+            .drop("_pid", "_lrn", "_off", "_tot"))
 
 
 def pmi_bigrams(df: DataFrame, text_col: str = "text",
@@ -1314,9 +1328,16 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
     flip the k-boundary on a last-ulp libm difference)."""
     t = F.col(text_col)
     toks = df.select(F.explode(tokens_expr(t)).alias("w"))
-    uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    # uni is referenced 3x (total + both join sides) and big 2x
+    # (total + the candidate rows) — without a persist each reference
+    # re-tokenizes the corpus (no CSE across DataFrame references, the
+    # SPARK-36718 family of traps). Persist the two vocab-sized count
+    # tables; the corpus itself is scanned exactly twice.
+    uni = (toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+           .persist())
     big = (df.select(F.explode(ngrams_all(t, 2)).alias("bg"))
-           .groupBy("bg").agg(F.count("*").cast("long").alias("cb")))
+           .groupBy("bg").agg(F.count("*").cast("long").alias("cb"))
+           .persist())
     nu = uni.agg(F.sum("c").cast("double").alias("_nu"))
     nb = big.agg(F.sum("cb").cast("double").alias("_nb"))
     sp = (big.filter(F.col("cb") >= min_count)
@@ -1332,3 +1353,89 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
             .select(F.col("bg").alias("bigram"),
                     F.col("cb").alias("n"), pmi.alias("pmi"))
             .orderBy(F.col("pmi").desc(), "bigram").limit(k))
+
+
+def group_quantiles(df: DataFrame, part_col: str, value_col: str,
+                    key_col: str,
+                    q_pcts: tuple[int, ...] = (25, 50, 75),
+                    num_partitions: int | None = None) -> DataFrame:
+    """Exact per-group discrete quantiles — the corpus-QA table
+    ("p25/p50/p75 quality per language") that decides filter
+    thresholds before a training run. Lower discrete quantile
+    semantics: the value at rank ceil(n * q/100) in (value, key)
+    order — ALL integer arithmetic ((n*q + 99) div 100), so no float
+    quantile interpolation can drift an ulp against an oracle.
+
+    Built on grouped_rank, so no per-group window sort: a mega-group
+    (English = half a 100 TB corpus) spreads over every partition.
+    The quantile targets join as a broadcast |q_pcts|-row frame.
+    Returns (part_col, q_pct, value) — one row per (group, q)."""
+    base = df.select(part_col, value_col, key_col)
+    ranked = grouped_rank(base, part_col, [value_col, key_col],
+                          num_partitions)
+    sess = df.sparkSession
+    qdf = sess.createDataFrame([(int(q),) for q in q_pcts], "q_pct int")
+    # integer ceil: (n*q + 99) div 100
+    target = F.expr("(n_group * q_pct + 99) div 100")
+    return (ranked.crossJoin(F.broadcast(qdf))
+            .filter(F.col("rank") == target)
+            .select(part_col, "q_pct", F.col(value_col).alias("value")))
+
+
+def vocab_coverage(df: DataFrame, text_col: str = "text",
+                   ks: tuple[int, ...] = (1, 16, 256, 4096)) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve: for each candidate vocab
+    size k, the fraction of all corpus token OCCURRENCES covered by
+    the top-k most frequent tokens (count desc, token asc ties). The
+    table every tokenizer-budget decision reads first.
+
+    Corpus side is ONE partial-agg'd token count; the ranking is a
+    TakeOrderedAndProject of max(ks) rows (vocab-sized, never the
+    corpus) whose cumulative sums then run over that bounded frame;
+    the corpus total joins as a 1-row broadcast. Coverage is rounded
+    to 6 before comparison."""
+    kmax = max(ks)
+    toks = df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+    uni = (toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+           .persist())
+    total = uni.agg(F.sum("c").cast("double").alias("_total"))
+    top = uni.orderBy(F.col("c").desc(), F.col("w")).limit(int(kmax))
+    wr = Window.orderBy(F.col("c").desc(), F.col("w"))
+    ranked = top.withColumn("_r", F.row_number().over(wr))
+    sess = df.sparkSession
+    kdf = sess.createDataFrame([(int(k),) for k in ks], "k int")
+    return (ranked.crossJoin(F.broadcast(kdf))
+            .filter(F.col("_r") <= F.col("k"))
+            .groupBy("k")
+            .agg(F.sum("c").cast("long").alias("covered_tokens"),
+                 F.count("*").cast("long").alias("vocab_used"))
+            .crossJoin(F.broadcast(total))
+            .select("k", "vocab_used", "covered_tokens",
+                    F.round(F.col("covered_tokens") / F.col("_total"), 6)
+                    .alias("coverage")))
+
+
+def shard_plan(df: DataFrame, key_col: str, shard_size: int,
+               num_partitions: int | None = None) -> DataFrame:
+    """Deterministic shard assignment — the training-data writer's
+    final step: a reproducible global shuffle (order by md5(key),
+    key) split into fixed-size shards. shard = (rank-1) div size,
+    pos_in_shard = (rank-1) mod size. Hash order decorrelates shards
+    from crawl/source order (so every shard is an unbiased corpus
+    sample) while staying bit-reproducible across runs, engines and
+    parallelism — df.sample()/repartition-based shuffles are neither.
+
+    Global rank via grouped_rank with a constant group: range
+    partition on the hash spreads the corpus evenly (md5 is uniform),
+    per-partition counts broadcast back — no SinglePartition
+    bottleneck anywhere. Returns (key, shard, pos_in_shard)."""
+    h = df.select(F.col(key_col),
+                  F.md5(F.col(key_col).cast("string")).alias("_h"),
+                  F.lit("all").alias("_g"))
+    ranked = grouped_rank(h, "_g", ["_h", key_col], num_partitions)
+    return ranked.select(
+        F.col(key_col),
+        F.expr(f"(rank - 1) div {int(shard_size)}").cast("long")
+        .alias("shard"),
+        F.expr(f"(rank - 1) % {int(shard_size)}").cast("long")
+        .alias("pos_in_shard"))

@@ -327,3 +327,66 @@ class TestStateReadPlan:
         probe = base.filter(F.col("salt") == 3)
         plan = plan_of(probe)
         assert re.search(r"PartitionFilters: \[.*salt.*\]", plan)
+
+
+class TestCorpusShapePlans:
+    """r5 session 3: plan shapes of the corpus-shape operators."""
+
+    def test_pmi_bigrams_topk_and_cached_counts(self, spark):
+        """pmi top-k must be a TakeOrderedAndProject (never a global
+        sort), and the twice-referenced unigram/bigram count tables
+        must come from cache (each uncached reference re-tokenizes
+        the corpus)."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(X.pmi_bigrams(docs))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+        assert "InMemoryTableScan" in plan
+
+    def test_grouped_ntile_never_single_partition(self, spark):
+        """The distributed ntile must never funnel a group through one
+        task: no SinglePartition exchange, window keyed by
+        (input-partition, group), offsets joined via broadcast."""
+        from crawlspark import textops as X
+
+        rows = [("a", i, float(i % 7)) for i in range(50)] + \
+               [("b", i, float(i % 5)) for i in range(20)]
+        df = spark.createDataFrame(rows,
+                                   "lang string, doc_id long, s double")
+        plan = plan_of(X.grouped_ntile(df, "lang", ["s", "doc_id"], 3))
+        assert "SinglePartition" not in plan, plan
+        assert "BroadcastHashJoin" in plan
+        assert "rangepartitioning" in plan
+
+    def test_inverted_index_partial_aggregated(self, spark):
+        """Both index aggregates must combine map-side (partial
+        collect_list) — a final-only aggregate would ship every
+        (token, pos) row through the shuffle unreduced."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(X.build_inverted_index(docs, df_cap=100))
+        assert plan.count("partial_collect_list") == 2, plan
+        assert "posexplode" in plan
+
+    def test_shard_plan_never_single_partition(self, spark):
+        """The global-rank shard planner must range-partition on the
+        hash, never funnel the corpus through one task."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(X.shard_plan(docs.select("doc_id"), "doc_id", 64))
+        assert "SinglePartition" not in plan, plan
+        assert "rangepartitioning" in plan
+
+    def test_vocab_coverage_windows_only_the_vocab_head(self, spark):
+        """The rank window must sit above the TakeOrdered vocab head
+        (max(ks) rows), never over the full token-count table."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(X.vocab_coverage(docs))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")

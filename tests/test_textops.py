@@ -632,3 +632,44 @@ class TestCorpusShapeOps:
         got = {r.bigram: (r.n, r.pmi) for r in
                X.pmi_bigrams(df, min_count=5, k=10).collect()}
         assert got == {"a b": (5, 3.0), "c d": (5, 3.0)}
+
+    def test_group_quantiles_exact_lower_discrete(self, spark):
+        # lang a: values 1..10 -> p25 = ceil(10*.25)=rank 3 -> 3.0,
+        # p50 = rank 5 -> 5.0, p75 = rank 8 -> 8.0; lang b: single row
+        rows = [("a", i, float(i)) for i in range(1, 11)] + \
+               [("b", 99, 42.0)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, q double")
+        got = sorted((r.lang, r.q_pct, r.value) for r in
+                     X.group_quantiles(df, "lang", "q", "doc_id").collect())
+        assert got == [("a", 25, 3.0), ("a", 50, 5.0), ("a", 75, 8.0),
+                       ("b", 25, 42.0), ("b", 50, 42.0), ("b", 75, 42.0)]
+
+    def test_vocab_coverage_counts(self, spark):
+        # counts: x:6, y:3, z:1 (total 10); ranks x=1,y=2,z=3
+        rows = [(1, "x x x y"), (2, "x x x y y z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.k: (r.vocab_used, r.covered_tokens, r.coverage) for r in
+               X.vocab_coverage(df, ks=(1, 2, 16)).collect()}
+        assert got[1] == (1, 6, 0.6)
+        assert got[2] == (2, 9, 0.9)
+        assert got[16] == (3, 10, 1.0)
+
+    def test_shard_plan_shapes_and_parallelism_invariance(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(200)],
+                                   "doc_id long")
+        a = sorted((r.doc_id, r.shard, r.pos_in_shard) for r in
+                   X.shard_plan(df, "doc_id", 64, num_partitions=1)
+                   .collect())
+        b = sorted((r.doc_id, r.shard, r.pos_in_shard) for r in
+                   X.shard_plan(df, "doc_id", 64, num_partitions=8)
+                   .collect())
+        assert a == b
+        assert len(a) == 200 and len({t[0] for t in a}) == 200
+        sizes = {}
+        for _, sh, pos in a:
+            assert 0 <= pos < 64
+            sizes[sh] = sizes.get(sh, 0) + 1
+        # 200 docs / 64 -> shards 0,1,2 full, shard 3 holds 8
+        assert sizes == {0: 64, 1: 64, 2: 64, 3: 8}
+        # slot assignment within a shard is unique
+        assert len({(sh, pos) for _, sh, pos in a}) == 200
