@@ -2583,6 +2583,69 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_vocab_growth(spark, sf):
+    """Heaps'-law vocabulary growth (textops.vocab_growth): distinct
+    token types within the first k docs for k in {16,64,256,1024} —
+    one partial-agg'd min(first-doc) per token, checkpoints joined as
+    a broadcast 4-row frame. The corpus tokenizes once."""
+    docs = _t(spark, sf, "documents")
+    return X.vocab_growth(docs).orderBy("k_docs")
+
+
+SQL_VOCAB_GROWTH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), first AS (
+  SELECT w, min(doc_id) AS f FROM toks GROUP BY w
+)
+SELECT k.k_docs::BIGINT AS k_docs, count(*)::BIGINT AS vocab_size
+FROM first JOIN (VALUES (16), (64), (256), (1024)) AS k(k_docs)
+  ON first.f <= k.k_docs
+GROUP BY k.k_docs ORDER BY k_docs
+"""
+
+
+def q_dedup_report(spark, sf):
+    """Per-source dedup attrition (textops.dedup_report over the
+    dedup_keep_best pipeline): docs and token mass kept vs dropped by
+    source after cluster-aware near-dup retention — the table a corpus
+    owner reads to see which source was boilerplate. One join + one
+    grouped aggregate over the retention verdicts."""
+    docs = _t(spark, sf, "documents")
+    pairs = (X.minhash_lsh_pairs(docs, num_perm=8, bands=4,
+                                 jaccard_threshold=0.5)
+             .select(F.col("id_a").alias("key_a"),
+                     F.col("id_b").alias("key_b")))
+    nodes = docs.select(F.col("doc_id").alias("key"))
+    labels = D.dup_clusters(nodes, pairs)
+    scores = docs.select(F.col("doc_id").alias("key"),
+                         X.quality_score(F.col("text")).alias("quality"))
+    kept = D.keep_best_per_cluster(labels, scores)
+    return (X.dedup_report(kept, docs.withColumnRenamed("doc_id", "key"),
+                           key_col="key")
+            .orderBy("source"))
+
+
+SQL_DEDUP_REPORT = f"""
+WITH kb AS ({SQL_DEDUP_KEEP_BEST}),
+t AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN trim(lower(coalesce(d.text, ''))) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(d.text)), '\\s+')) END
+           AS tok,
+         kb.kept
+  FROM documents d JOIN kb USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS docs_in,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS docs_kept,
+       sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS docs_dropped,
+       sum(CASE WHEN kept THEN tok ELSE 0 END)::BIGINT AS tokens_kept,
+       sum(CASE WHEN kept THEN 0 ELSE tok END)::BIGINT AS tokens_dropped
+FROM t GROUP BY source ORDER BY source
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2642,6 +2705,8 @@ QUERIES = {
     "quality_quantiles": (q_quality_quantiles, SQL_QUALITY_QUANTILES),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
+    "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
+    "dedup_report": (q_dedup_report, SQL_DEDUP_REPORT),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

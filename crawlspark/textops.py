@@ -1439,3 +1439,56 @@ def shard_plan(df: DataFrame, key_col: str, shard_size: int,
         .alias("shard"),
         F.expr(f"(rank - 1) % {int(shard_size)}").cast("long")
         .alias("pos_in_shard"))
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 key_col: str = "doc_id",
+                 checkpoints: tuple[int, ...] = (16, 64, 256, 1024)) \
+        -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct token types seen
+    within the first k documents (by ``key_col`` order) for each
+    checkpoint k — the curve that says whether a corpus is still
+    contributing new vocabulary or has gone redundant (the empirical
+    V ∝ N^beta check papers run before scaling a crawl).
+
+    One partial-agg'd min: each token's FIRST document (min key), a
+    vocab-sized table; checkpoints then join as a broadcast |ks|-row
+    frame and reduce to |ks| counters. The corpus is tokenized once;
+    nothing corpus-sized crosses a second shuffle. Scales."""
+    first = (df.select(F.col(key_col).alias("_k"),
+                       F.explode(tokens_expr(F.col(text_col))).alias("w"))
+             .groupBy("w")
+             .agg(F.min("_k").alias("_first")))
+    sess = df.sparkSession
+    kdf = sess.createDataFrame([(int(k),) for k in checkpoints],
+                               "k_docs long")
+    return (first.crossJoin(F.broadcast(kdf))
+            .filter(F.col("_first") <= F.col("k_docs"))
+            .groupBy("k_docs")
+            .agg(F.count("*").cast("long").alias("vocab_size")))
+
+
+def dedup_report(kept: DataFrame, meta: DataFrame,
+                 key_col: str = "doc_id",
+                 group_col: str = "source") -> DataFrame:
+    """Per-source dedup attrition report over keep_best_per_cluster
+    output (``kept``: key, kept bool): docs in, docs kept, docs
+    dropped, and the token mass kept/dropped — the table a corpus
+    owner reads after a dedup pass to see which sources were mostly
+    boilerplate. ``meta`` supplies (key_col, group_col, text).
+
+    One broadcast-or-shuffle equi-join on the doc key plus one
+    grouped aggregate (all sums partial-agg'd). Scales."""
+    j = (meta.select(F.col(key_col).alias("key"), group_col,
+                     token_count(F.col("text")).alias("_tok"))
+         .join(kept.select("key", "kept"), "key"))
+    return (j.groupBy(group_col)
+            .agg(F.count("*").cast("long").alias("docs_in"),
+                 F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                 .cast("long").alias("docs_kept"),
+                 F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+                 .cast("long").alias("docs_dropped"),
+                 F.sum(F.when(F.col("kept"), F.col("_tok")).otherwise(0))
+                 .cast("long").alias("tokens_kept"),
+                 F.sum(F.when(~F.col("kept"), F.col("_tok")).otherwise(0))
+                 .cast("long").alias("tokens_dropped")))

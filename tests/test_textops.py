@@ -673,3 +673,24 @@ class TestCorpusShapeOps:
         assert sizes == {0: 64, 1: 64, 2: 64, 3: 8}
         # slot assignment within a shard is unique
         assert len({(sh, pos) for _, sh, pos in a}) == 200
+
+    def test_vocab_growth_first_occurrence(self, spark):
+        # doc 1 brings {a,b}; doc 2 repeats a; doc 3 brings {c}
+        rows = [(1, "a b a"), (2, "a a"), (3, "c a")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.k_docs: r.vocab_size for r in
+               X.vocab_growth(df, checkpoints=(1, 2, 3)).collect()}
+        assert got == {1: 2, 2: 2, 3: 3}
+
+    def test_dedup_report_token_mass(self, spark):
+        kept = spark.createDataFrame(
+            [(1, True), (2, False), (3, True)], "key long, kept boolean")
+        meta = spark.createDataFrame(
+            [(1, "s1", "one two"), (2, "s1", "three"), (3, "s2", "x")],
+            "key long, source string, text string")
+        got = {r.source: r for r in
+               X.dedup_report(kept, meta, key_col="key").collect()}
+        assert (got["s1"].docs_in, got["s1"].docs_kept,
+                got["s1"].docs_dropped) == (2, 1, 1)
+        assert (got["s1"].tokens_kept, got["s1"].tokens_dropped) == (2, 1)
+        assert (got["s2"].docs_in, got["s2"].tokens_kept) == (1, 1)
