@@ -2646,6 +2646,49 @@ FROM t GROUP BY source ORDER BY source
 """
 
 
+def q_bigram_lm(spark, sf):
+    """Bigram-conditional LM scoring (textops.bigram_lm_score): mean
+    log2 p(w2|w1) per doc under the corpus's own add-0.5-smoothed
+    bigram model — one corpus explode (persisted), all model
+    arithmetic on the vocab-sized count table, one scoring join.
+    The oracle replays the identical estimator."""
+    docs = _t(spark, sf, "documents")
+    return (X.bigram_lm_score(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_pairs", "bigram_lp")
+            .orderBy("doc_id"))
+
+
+SQL_BIGRAM_LM = r"""
+WITH toks0 AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), pairs AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks0 WHERE len(t) >= 2)
+), big AS (
+  SELECT bg, count(*) AS c12 FROM pairs GROUP BY bg
+), w1s AS (
+  SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1
+  FROM big GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT string_split(bg, ' ')[2])::DOUBLE AS v FROM big
+), model AS (
+  SELECT big.bg, log2((big.c12 + 0.5) / (w1s.c1 + 0.5 * v.v)) AS lp
+  FROM big JOIN w1s ON string_split(big.bg, ' ')[1] = w1s.w1, v
+), scored AS (
+  SELECT doc_id, count(*) AS n_pairs, round(avg(lp), 4) AS bigram_lp
+  FROM pairs JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(s.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(s.bigram_lp, 0.0) AS bigram_lp
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2706,6 +2749,7 @@ QUERIES = {
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "shard_plan": (q_shard_plan, SQL_SHARD_PLAN),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "dedup_report": (q_dedup_report, SQL_DEDUP_REPORT),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),

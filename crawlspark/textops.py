@@ -1492,3 +1492,51 @@ def dedup_report(kept: DataFrame, meta: DataFrame,
                  .cast("long").alias("tokens_kept"),
                  F.sum(F.when(~F.col("kept"), F.col("_tok")).otherwise(0))
                  .cast("long").alias("tokens_dropped")))
+
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    key_col: str = "doc_id",
+                    alpha: float = 0.5) -> DataFrame:
+    """Per-document mean conditional log-probability under the
+    corpus's OWN add-alpha-smoothed bigram model — the next step up
+    from the unigram lm_quality_score toward the KenLM perplexity
+    filter (CCNet): p(w2|w1) = (C(w1 w2) + a) / (C(w1 ·) + a·V), with
+    C(w1 ·) the bigram-first marginal and V the distinct-successor
+    count. Low mean log-prob = improbable transitions = gibberish /
+    shuffled-boilerplate candidate.
+
+    Shape: the corpus explodes to adjacent pairs ONCE (persisted —
+    it is referenced by both the count build and the scoring join);
+    all model arithmetic runs on the vocab-sized bigram-count table
+    (persisted, 3 references): the w1 marginal is a sum over that
+    table (no second corpus pass), V is a 1-row broadcast, the
+    log-prob attaches per distinct bigram. One final equi-join model →
+    pairs + a grouped mean. alpha=0.5 is binary-exact so the smoothing
+    adds no cross-engine float noise; the mean is rounded to 4 (float
+    sums run in partition order). Docs with <2 tokens score 0.0."""
+    t = F.col(text_col)
+    pairs = (df.select(F.col(key_col),
+                       F.explode(ngrams_all(t, 2)).alias("bg"))
+             .persist())
+    big = (pairs.groupBy("bg")
+           .agg(F.count("*").cast("long").alias("c12")).persist())
+    w1s = (big.withColumn("_w1", F.split("bg", " ")[0])
+           .groupBy("_w1").agg(F.sum("c12").cast("long").alias("c1")))
+    v = big.select(F.count_distinct(F.split("bg", " ")[1])
+                   .cast("double").alias("_v"))
+    model = (big.withColumn("_w1", F.split("bg", " ")[0])
+             .join(w1s, "_w1")
+             .crossJoin(F.broadcast(v))
+             .select("bg",
+                     F.log2((F.col("c12") + F.lit(float(alpha)))
+                            / (F.col("c1") + F.lit(float(alpha))
+                               * F.col("_v"))).alias("_lp")))
+    scored = (pairs.join(model, "bg")
+              .groupBy(key_col)
+              .agg(F.count("*").cast("long").alias("n_pairs"),
+                   F.round(F.avg("_lp"), 4).alias("bigram_lp")))
+    return (df.select(key_col).join(scored, key_col, "left")
+            .select(key_col,
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    F.coalesce("bigram_lp", F.lit(0.0))
+                    .alias("bigram_lp")))

@@ -694,3 +694,17 @@ class TestCorpusShapeOps:
                 got["s1"].docs_dropped) == (2, 1, 1)
         assert (got["s1"].tokens_kept, got["s1"].tokens_dropped) == (2, 1)
         assert (got["s2"].docs_in, got["s2"].tokens_kept) == (1, 1)
+
+    def test_bigram_lm_score_math(self, spark):
+        # corpus: "a b" x3, "a c" x1 -> bigrams: "a b":3, "a c":1.
+        # C(a·)=4, V(successors)={b,c}=2, alpha=.5:
+        # p(b|a) = 3.5/5 = 0.7, p(c|a) = 1.5/5 = 0.3
+        import math
+        rows = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "x")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_pairs, r.bigram_lp) for r in
+               X.bigram_lm_score(df).collect()}
+        assert got[1] == (1, round(math.log2(0.7), 4))
+        assert got[4] == (1, round(math.log2(0.3), 4))
+        # a 1-token doc has no pairs and scores 0.0
+        assert got[5] == (0, 0.0)
