@@ -2689,6 +2689,203 @@ ORDER BY doc_id
 """
 
 
+def q_distinct_kmv(spark, sf):
+    """Per-source distinct-token cardinality: exact count beside the
+    K-Minimum-Values sketch estimate (textops.kmv_distinct) — the
+    deterministic alternative to HLL, so the DuckDB oracle replays the
+    estimator hash-for-hash (same md5→60-bit scheme as simhash)."""
+    docs = _t(spark, sf, "documents")
+    return X.kmv_distinct(docs, k=128).orderBy("source")
+
+
+SQL_DISTINCT_KMV = r"""
+WITH toks AS (
+  SELECT DISTINCT source AS grp,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), hashed AS (
+  SELECT grp, ('0x' || substr(md5(w), 1, 15))::UBIGINT::BIGINT AS h
+  FROM toks
+), ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+  FROM hashed
+), agg AS (
+  SELECT grp, count(*)::BIGINT AS n_exact,
+         max(CASE WHEN r = 128 THEN h END) AS hk
+  FROM ranked GROUP BY grp
+)
+SELECT grp AS source, n_exact,
+       CASE WHEN hk IS NULL THEN n_exact::DOUBLE
+            ELSE round(127.0 * 1152921504606846976.0 / hk::DOUBLE, 2)
+       END AS kmv_est,
+       128::BIGINT AS kmv_k
+FROM agg ORDER BY source
+"""
+
+
+def q_zipf_fit(spark, sf):
+    """Per-source Zipf-slope fit over the top-200 vocabulary
+    (textops.zipf_slope): ln(count) ~ ln(rank) least squares —
+    boilerplate/spam shape detector. Oracle uses DuckDB's native
+    regr_slope against Spark's covar_pop/var_pop formulation."""
+    docs = _t(spark, sf, "documents")
+    return X.zipf_slope(docs, top=200).orderBy("source")
+
+
+SQL_ZIPF_FIT = r"""
+WITH counts AS (
+  SELECT grp, w, count(*)::BIGINT AS c FROM (
+    SELECT source AS grp,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+  ) GROUP BY grp, w
+), ranked AS (
+  SELECT grp, c,
+         row_number() OVER (PARTITION BY grp ORDER BY c DESC, w ASC) AS r
+  FROM counts
+)
+SELECT grp AS source, count(*)::BIGINT AS n_types,
+       round(regr_slope(ln(c::DOUBLE), ln(r::DOUBLE)), 4) AS zipf_slope
+FROM ranked WHERE r <= 200 GROUP BY grp ORDER BY source
+"""
+
+
+def q_corpus_rollup(spark, sf):
+    """CUBE(lang, source) doc/token/byte totals — the corpus-mixture
+    summary table at every rollup level in ONE pass (Spark expands the
+    grouping sets before the partial aggregate, so the corpus is
+    scanned once, not 4x). lang/source are non-null in this corpus, so
+    the 'ALL' coalesce labels the rollup levels unambiguously."""
+    docs = _t(spark, sf, "documents")
+    n_tok = X.token_count(F.col("text")).cast("long")
+    return (docs.select("lang", "source", n_tok.alias("_t"),
+                        F.octet_length(F.coalesce("text", F.lit("")))
+                        .cast("long").alias("_b"))
+            .cube("lang", "source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_t").cast("long").alias("n_tokens"),
+                 F.sum("_b").cast("long").alias("n_bytes"))
+            .select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                    F.coalesce("source", F.lit("ALL")).alias("source"),
+                    "n_docs", "n_tokens", "n_bytes")
+            .orderBy("lang", "source"))
+
+
+SQL_CORPUS_ROLLUP = r"""
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN trim(lower(coalesce(text, ''))) = '' THEN 0
+                ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+           )::BIGINT AS n_tokens,
+       sum(strlen(coalesce(text, '')))::BIGINT AS n_bytes
+FROM documents
+GROUP BY CUBE(lang, source)
+ORDER BY coalesce(lang, 'ALL'), coalesce(source, 'ALL')
+"""
+
+
+def q_utf8_stats(spark, sf):
+    """Per-document encoding-health profile (textops.utf8_stats):
+    UTF-8 width histogram from two regex passes + exact integer
+    identities, ASCII ratio, control/replacement counts — the
+    mojibake and binary-garbage detector. Oracle counts the same RE2
+    character classes via len(regexp_extract_all)."""
+    docs = _t(spark, sf, "documents")
+    return (X.utf8_stats(docs)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_bytes", "n_chars", "n_ascii", "n_2byte",
+                    "n_3byte", "n_4byte", "ascii_ratio", "n_ctrl",
+                    "n_replacement")
+            .orderBy("doc_id"))
+
+
+SQL_UTF8_STATS = r"""
+WITH b AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), c AS (
+  SELECT doc_id,
+         strlen(t)::BIGINT AS n_bytes, length(t)::BIGINT AS n_chars,
+         len(regexp_extract_all(t, '[\x00-\x7f]'))::BIGINT AS n_ascii,
+         len(regexp_extract_all(t, '[\x{0080}-\x{07ff}]'))::BIGINT AS n_2byte,
+         len(regexp_extract_all(t, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))::BIGINT
+           AS n_ctrl,
+         (length(t) - length(replace(t, '�', '')))::BIGINT AS n_replacement
+  FROM b
+)
+SELECT doc_id::BIGINT AS doc_id, n_bytes, n_chars, n_ascii, n_2byte,
+       (n_chars - n_ascii - n_2byte
+        - (n_bytes - 3 * n_chars + 2 * n_ascii + n_2byte))::BIGINT AS n_3byte,
+       (n_bytes - 3 * n_chars + 2 * n_ascii + n_2byte)::BIGINT AS n_4byte,
+       round(n_ascii::DOUBLE / greatest(n_chars, 1), 4) AS ascii_ratio,
+       n_ctrl, n_replacement
+FROM c ORDER BY doc_id
+"""
+
+
+def q_source_reputation(spark, sf):
+    """Domain-level reputation table (textops.source_reputation):
+    mean quality per source vs the corpus mean, low_rep flag — the
+    FineWeb-style site filter. Global mean derives from the per-source
+    sums (no second scan); oracle replays sum-of-sums/count exactly."""
+    docs = _t(spark, sf, "documents")
+    return X.source_reputation(docs).orderBy("source")
+
+
+SQL_SOURCE_REPUTATION = r"""
+WITH q AS (
+  SELECT source,
+         ((CASE WHEN length(coalesce(text, '')) BETWEEN 80 AND 20000
+                THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN length(coalesce(text, ''))::DOUBLE
+                       / greatest(CASE WHEN trim(lower(coalesce(text, ''))) = ''
+                                       THEN 0
+                             ELSE len(string_split_regex(
+                                      trim(lower(text)), '\s+')) END, 1)
+                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN (length(coalesce(text, '')) - length(regexp_replace(
+                         coalesce(text, ''), '[.,!?;:]', '', 'g')))
+                       / greatest(length(coalesce(text, '')), 1) <= 0.1
+                  THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN (length(coalesce(text, '')) - length(regexp_replace(
+                         coalesce(text, ''), '[A-Z]', '', 'g')))
+                       / greatest(length(coalesce(text, '')), 1) <= 0.3
+                  THEN 1.0 ELSE 0.0 END)) / 4.0 AS qs
+  FROM documents
+), per AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(round(qs, 4)) AS qsum
+  FROM q GROUP BY source
+), g AS (
+  SELECT sum(qsum) / sum(n_docs) AS gmean FROM per
+)
+SELECT source, n_docs, round(qsum / n_docs, 4) AS src_quality,
+       round((SELECT gmean FROM g), 4) AS corpus_quality,
+       (qsum / n_docs < (SELECT gmean FROM g)) AS low_rep
+FROM per ORDER BY source
+"""
+
+
+def q_warc_roundtrip(spark, sf):
+    """Common-Crawl-style WARC ingestion round-trip (crawlspark.warc):
+    records are BUILT as one JVM Column expression, concatenated into
+    bounded per-chunk blobs (one shuffle), then SEGMENTED back by a
+    Content-Length-driven mapInPandas byte walker — the imperative
+    parse Spark's Column algebra cannot express. Because the md5 is
+    over payload bytes, the pUDF parse path gets a FULL SQL oracle:
+    rec_id = doc_id, content_length = octet_length, md5 = md5(text)."""
+    from . import warc as W
+
+    docs = _t(spark, sf, "documents")
+    chunks = W.build_warc_chunks(docs)
+    return W.parse_warc_chunks(chunks).orderBy("rec_id")
+
+
+SQL_WARC_ROUNDTRIP = r"""
+SELECT doc_id::BIGINT AS rec_id, strlen(text)::BIGINT AS content_length,
+       md5(text) AS payload_md5
+FROM documents WHERE text IS NOT NULL ORDER BY rec_id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2751,6 +2948,12 @@ QUERIES = {
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "dedup_report": (q_dedup_report, SQL_DEDUP_REPORT),
+    "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+    "corpus_rollup": (q_corpus_rollup, SQL_CORPUS_ROLLUP),
+    "utf8_stats": (q_utf8_stats, SQL_UTF8_STATS),
+    "source_reputation": (q_source_reputation, SQL_SOURCE_REPUTATION),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

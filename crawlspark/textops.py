@@ -1540,3 +1540,144 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
                     F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
                     F.coalesce("bigram_lp", F.lit(0.0))
                     .alias("bigram_lp")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-cardinality + encoding-health operators (round 5, session 4)
+# ---------------------------------------------------------------------------
+def kmv_distinct(df: DataFrame, text_col: str = "text",
+                 group_col: str = "source", k: int = 128) -> DataFrame:
+    """Per-group distinct-token cardinality via a K-Minimum-Values
+    sketch (Bar-Yossef et al. 2002): hash every distinct token to a
+    uniform 60-bit value, keep the k smallest per group, estimate
+    |distinct| = (k-1) / u_k with u_k the k-th smallest hash
+    normalized to (0,1]. Unlike HLL the estimator is DETERMINISTIC
+    given the hash, so a SQL oracle replays it bit-for-bit (md5-hex →
+    int, the same scheme simhash uses; DuckDB: ('0x'||substr)::UBIGINT,
+    Spark: conv(...,16,10)).
+
+    Shape: distinct (group, token) is one partial-agg'd aggregate;
+    the rank window then runs over the VOCAB-sized distinct frame
+    partitioned by group — never the corpus. The exact distinct count
+    rides the same shuffled frame as a grouped count (one extra
+    aggregate, no extra scan) and is returned beside the estimate as
+    the accuracy exhibit; drop it at 100 TB if only the sketch is
+    wanted. 15 hex digits = 60 bits keeps the hash inside a signed
+    64-bit lane in both engines; 2^60 as a double literal is exact."""
+    toks = (df.select(F.col(group_col).alias("grp"),
+                      F.explode(tokens_expr(F.col(text_col))).alias("w"))
+            .distinct())
+    hashed = toks.select(
+        "grp", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10)
+        .cast("long").alias("h"))
+    wk = Window.partitionBy("grp").orderBy("h")
+    ranked = hashed.withColumn("_r", F.row_number().over(wk))
+    agg = (ranked.groupBy("grp")
+           .agg(F.count("*").cast("long").alias("n_exact"),
+                F.max(F.when(F.col("_r") == k, F.col("h")))
+                .alias("_hk")))
+    two60 = F.lit(1152921504606846976.0)  # 2^60, exactly representable
+    est = F.when(F.col("_hk").isNull(),
+                 F.col("n_exact").cast("double")) \
+           .otherwise(F.round(F.lit(float(k - 1)) * two60
+                              / F.col("_hk").cast("double"), 2))
+    return (agg.select(F.col("grp").alias(group_col), "n_exact",
+                       est.alias("kmv_est"))
+            .withColumn("kmv_k", F.lit(k).cast("long")))
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text",
+               group_col: str = "source", top: int = 200) -> DataFrame:
+    """Per-group Zipf-law fit: the least-squares slope of
+    ln(count) ~ ln(rank) over the group's top-N token types. Natural
+    web text sits near -1; a source whose slope is far shallower
+    (flat counts = templated boilerplate) or steeper (one token
+    dominates = navigation spam) is a mixture-weight red flag — the
+    corpus-shape analogue of the repetition filters.
+
+    Shape: one vocab aggregate, a rank window over the vocab frame
+    (partitioned by group), the regression as covar_pop/var_pop over
+    <= N rows per group — the frame is already hash-partitioned by
+    group from the window, so the final agg reuses the exchange.
+    Rounded to 4: the two engines sum <=N doubles in different
+    orders, which perturbs at ~1e-13 relative."""
+    counts = (df.select(F.col(group_col).alias("grp"),
+                        F.explode(tokens_expr(F.col(text_col))).alias("w"))
+              .groupBy("grp", "w")
+              .agg(F.count("*").cast("long").alias("c")))
+    wk = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("w"))
+    ranked = (counts.withColumn("r", F.row_number().over(wk))
+              .filter(F.col("r") <= top))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    return (ranked.groupBy("grp")
+            .agg(F.count("*").cast("long").alias("n_types"),
+                 F.round(F.covar_pop(x, y) / F.var_pop(x), 4)
+                 .alias("zipf_slope"))
+            .withColumnRenamed("grp", group_col))
+
+
+def utf8_stats(df: DataFrame, text_col: str = "text",
+               key_col: str = "doc_id") -> DataFrame:
+    """Per-document encoding-health profile: byte/char counts, the
+    UTF-8 width histogram, ASCII ratio, and a control-character
+    count — the mojibake / binary-garbage detector every crawled
+    corpus runs before training (double-encoded UTF-8 shows up as a
+    2-byte-char surge on a Latin-script page; truncated multibyte
+    shows as U+FFFD; binary spill shows as C0 controls).
+
+    Only TWO regex passes (ASCII and the 2-byte range); the 3- and
+    4-byte counts solve exactly from the byte/char equations
+    bytes = a + 2b + 3c + 4d, chars = a + b + c + d =>
+    d = bytes - 3*chars + 2a + b, c = chars - a - b - d — integer
+    arithmetic, no float drift. Both engines count code points (not
+    UTF-16 units) for length(), so the identities hold. Narrow
+    projection, no shuffle, whole-stage codegen."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_bytes = F.octet_length(t).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_ascii = F.regexp_count(t, F.lit(r"[\x00-\x7f]")).cast("long")
+    n_2b = F.regexp_count(t, F.lit(r"[\x{0080}-\x{07ff}]")).cast("long")
+    n_4b = (n_bytes - F.lit(3) * n_chars + F.lit(2) * n_ascii + n_2b)
+    n_3b = n_chars - n_ascii - n_2b - n_4b
+    n_ctrl = F.regexp_count(
+        t, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")).cast("long")
+    n_repl = F.regexp_count(t, F.lit("�")).cast("long")
+    return df.select(
+        F.col(key_col),
+        n_bytes.alias("n_bytes"), n_chars.alias("n_chars"),
+        n_ascii.alias("n_ascii"), n_2b.alias("n_2byte"),
+        n_3b.alias("n_3byte"), n_4b.alias("n_4byte"),
+        F.round(n_ascii.cast("double")
+                / F.greatest(n_chars, F.lit(1)).cast("double"), 4)
+        .alias("ascii_ratio"),
+        n_ctrl.alias("n_ctrl"), n_repl.alias("n_replacement"))
+
+
+def source_reputation(df: DataFrame, text_col: str = "text",
+                      group_col: str = "source") -> DataFrame:
+    """Domain-level reputation filter (the FineWeb/C4 move of scoring
+    the SITE, not just the page): mean per-doc quality_score per
+    source, compared against the corpus-wide mean; a source below the
+    global mean is flagged low_rep and its doc count is what the
+    mixture planner would down-weight.
+
+    Shape: quality is a per-row Column expression; one grouped
+    aggregate to source level; the global mean derives from the
+    per-source sums (sum-of-sums / count-of-docs — NOT mean-of-means,
+    and no second corpus scan) and joins back as a 1-row broadcast.
+    The group aggregate is map-side combined; at 100 TB the shuffle
+    carries |sources| rows."""
+    q = quality_score(F.col(text_col))
+    per = (df.select(F.col(group_col).alias("grp"), q.alias("_q"))
+           .groupBy("grp")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("_q").alias("_qsum")))
+    glob = per.agg((F.sum("_qsum") / F.sum("n_docs")).alias("_gmean"))
+    return (per.crossJoin(F.broadcast(glob))
+            .select(F.col("grp").alias(group_col), "n_docs",
+                    F.round(F.col("_qsum") / F.col("n_docs"), 4)
+                    .alias("src_quality"),
+                    F.round(F.col("_gmean"), 4).alias("corpus_quality"),
+                    (F.col("_qsum") / F.col("n_docs") < F.col("_gmean"))
+                    .alias("low_rep")))

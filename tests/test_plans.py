@@ -390,3 +390,45 @@ class TestCorpusShapePlans:
         plan = plan_of(X.vocab_coverage(docs))
         assert "TakeOrderedAndProject" in plan, plan
         assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+class TestRound5Session4Plans:
+    def test_utf8_stats_zero_exchange(self, spark):
+        """utf8_stats is a narrow per-row projection — no shuffle, no
+        Python stage; the width histogram solves algebraically from
+        two regexp_count passes inside codegen."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(X.utf8_stats(docs))
+        for banned in ("Exchange", "ArrowEvalPython", "BatchEvalPython",
+                       "MapInPandas"):
+            assert banned not in plan, banned
+
+    def test_kmv_and_zipf_never_single_partition(self, spark):
+        """The rank windows run partitioned by group over the
+        VOCAB-sized distinct/count frames — never one global task."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        for df in (X.kmv_distinct(docs), X.zipf_slope(docs)):
+            assert "SinglePartition" not in plan_of(df)
+
+    def test_warc_parse_is_one_python_stage_one_shuffle(self, spark):
+        """WARC: records built JVM-side, ONE exchange on the chunk
+        key, ONE MapInPandas segmenter — no other Python stage."""
+        from crawlspark import warc as W
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(W.parse_warc_chunks(W.build_warc_chunks(docs)))
+        assert plan.count("MapInPandas") == 1, plan
+        assert "BatchEvalPython" not in plan
+
+    def test_source_reputation_broadcasts_global_mean(self, spark):
+        """The corpus mean joins back as a 1-row broadcast — the
+        per-source frame never re-shuffles for it."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(X.source_reputation(docs))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -708,3 +708,78 @@ class TestCorpusShapeOps:
         assert got[4] == (1, round(math.log2(0.3), 4))
         # a 1-token doc has no pairs and scores 0.0
         assert got[5] == (0, 0.0)
+
+
+class TestCorpusHealthOps:
+    """Round-5 session-4 batch: KMV cardinality, Zipf fit, UTF-8
+    health, source reputation."""
+
+    def test_kmv_exact_when_under_k(self, spark):
+        # 10 distinct tokens < k=128 -> estimate IS the exact count
+        rows = [(i, "s", " ".join(f"w{j}" for j in range(10)))
+                for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        r = X.kmv_distinct(df, k=128).collect()[0]
+        assert r.n_exact == 10 and r.kmv_est == 10.0
+
+    def test_kmv_estimate_within_tolerance(self, spark):
+        # 5000 distinct tokens, k=128: KMV standard error ~ 1/sqrt(k-2)
+        # ~ 8.9%; assert within 4 sigma (deterministic md5 hashes, so
+        # this is a fixed number, not a flaky draw)
+        rows = [(i, "s", " ".join(f"tok{i}_{j}" for j in range(50)))
+                for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        r = X.kmv_distinct(df, k=128).collect()[0]
+        assert r.n_exact == 5000
+        assert abs(r.kmv_est - 5000) / 5000 < 0.36
+        # parallelism-invariant (the sketch is order-free)
+        r2 = X.kmv_distinct(df.repartition(13), k=128).collect()[0]
+        assert (r2.n_exact, r2.kmv_est) == (r.n_exact, r.kmv_est)
+
+    def test_zipf_slope_shapes(self, spark):
+        # flat counts (every token once) -> slope 0; geometric decay
+        # c(r) = 2^(10-r) over ranks 1..10 -> ln c = const - ln2 *
+        # r... NOT linear in ln r, but monotone negative; assert sign
+        # and that the flat corpus is ~0 while the skewed one is well
+        # below -1 (ln c spans ~6.9 while ln r spans ~2.3)
+        flat = [(1, "f", " ".join(f"u{j}" for j in range(64)))]
+        skew = [(1, "s", " ".join(" ".join(f"t{r}" for _ in range(2 ** (10 - r)))
+                                  for r in range(1, 11)))]
+        df = spark.createDataFrame(flat + skew,
+                                   "doc_id long, source string, text string")
+        got = {r.source: r for r in X.zipf_slope(df).collect()}
+        assert got["f"].zipf_slope == 0.0 and got["f"].n_types == 64
+        assert got["s"].zipf_slope < -1.5 and got["s"].n_types == 10
+
+    def test_utf8_stats_width_identities(self, spark):
+        # a=ascii, é=2-byte, 汉=3-byte, 𝄞=4-byte (U+1D11E), plus a
+        # control char and U+FFFD — counts must solve exactly
+        s = "abc é汉字𝄞\x07�"
+        df = spark.createDataFrame([(1, s)], "doc_id long, text string")
+        r = X.utf8_stats(df).collect()[0]
+        assert r.n_bytes == len(s.encode("utf-8"))
+        assert r.n_chars == 10  # code points, not UTF-16 units
+        assert (r.n_ascii, r.n_2byte, r.n_3byte, r.n_4byte) == (5, 1, 3, 1)
+        assert r.n_ctrl == 1 and r.n_replacement == 1
+        assert r.ascii_ratio == 0.5
+
+    def test_utf8_stats_null_and_empty(self, spark):
+        df = spark.createDataFrame([(1, None), (2, "")],
+                                   "doc_id long, text string")
+        for r in X.utf8_stats(df).collect():
+            assert r.n_bytes == 0 and r.n_chars == 0 and r.ascii_ratio == 0.0
+
+    def test_source_reputation_flags(self, spark):
+        # "good" source: clean mid-length prose (quality 1.0);
+        # "bad" source: short all-caps shouting (quality < 1)
+        good = "the quick brown fox jumps over the lazy dog " * 4
+        bad = "BUY NOW!!! " * 3
+        rows = [(i, "good", good) for i in range(4)] + \
+               [(i + 10, "bad", bad) for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {r.source: r for r in X.source_reputation(df).collect()}
+        assert got["good"].low_rep is False
+        assert got["bad"].low_rep is True
+        assert got["good"].src_quality > got["bad"].src_quality
+        # both rows carry the same corpus mean
+        assert got["good"].corpus_quality == got["bad"].corpus_quality
