@@ -2886,6 +2886,130 @@ FROM documents WHERE text IS NOT NULL ORDER BY rec_id
 """
 
 
+def q_line_dedup(spark, sf):
+    """Within-document repeated-line removal (textops.line_dedup, the
+    C4 in-page dedup): pseudo-lines are 2-token chunks (the fixture is
+    single-line word soup); a line survives at its first position
+    only. Zero shuffle — array_distinct inside codegen; oracle keeps
+    min-position per (doc, line) and re-joins in order."""
+    docs = _t(spark, sf, "documents")
+    return (X.line_dedup(docs, line_tokens=2)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_lines", "n_kept", "clean_text")
+            .orderBy("doc_id"))
+
+
+SQL_LINE_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), lines AS (
+  SELECT doc_id, i, array_to_string(t[(i-1)*2+1:(i-1)*2+2], ' ') AS ln
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, cast(ceil(len(t) / 2.0) AS INT))) AS i
+        FROM toks)
+), firsts AS (
+  SELECT doc_id, ln, min(i) AS fi FROM lines GROUP BY doc_id, ln
+), agg AS (
+  SELECT l.doc_id, count(*) AS n_lines,
+         count(DISTINCT l.ln) AS n_kept
+  FROM lines l GROUP BY l.doc_id
+), txt AS (
+  SELECT doc_id, string_agg(ln, ' ' ORDER BY fi) AS clean_text
+  FROM firsts GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(t.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN agg a USING (doc_id) LEFT JOIN txt t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_vocab_prune(spark, sf):
+    """Fixed-vocab UNK analysis (textops.vocab_prune_stats): top-16
+    vocabulary (count desc, token asc), per-doc out-of-vocab token
+    occurrences and ratio — the capped-vocab tokenizer rehearsal.
+    The head is TakeOrdered; scoring is a broadcast join."""
+    docs = _t(spark, sf, "documents")
+    return X.vocab_prune_stats(docs, k=16).orderBy("doc_id")
+
+
+SQL_VOCAB_PRUNE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), head AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w)
+  ORDER BY c DESC, w ASC LIMIT 16
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN h.w IS NULL THEN 1 ELSE 0 END) AS n_unk
+  FROM toks t LEFT JOIN head h ON t.w = h.w
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.n_unk, 0)::BIGINT AS n_unk,
+       round(coalesce(s.n_unk, 0)::DOUBLE
+             / greatest(coalesce(s.n_tokens, 0), 1), 4) AS unk_ratio
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup-style per-vector dedup verdict (textops.semantic_dedup):
+    deterministic LSH-bucket clusters (the splitmix64 hyperplanes the
+    ANN oracle already replays), min-id-wins drop of same-cluster
+    cosine >= 0.3 neighbors. Full oracle: DuckDB recomputes the
+    hyperplane buckets, the pair join, and the drop rule."""
+    emb = _t(spark, sf, "embeddings")
+    return (X.semantic_dedup(emb, threshold=0.3, n_planes=4)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    "cluster", "kept")
+            .orderBy("vec_id"))
+
+
+def _sql_semdedup(dim: int = 64, n_planes: int = 4,
+                  threshold: float = 0.3) -> str:
+    """DuckDB replication of semantic_dedup: identical hyperplanes
+    (textops._hyperplanes), sign-bit bucket, within-bucket pair
+    cosines rounded to 6 (array-order folds agree bit-for-bit — the
+    emb_near_dups/ann_lsh precedent), min-id-wins drop set."""
+    from .textops import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+
+    def lit_list(v):
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {lit_list(planes[p])}) >= 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS cluster FROM e),
+drops AS (
+  SELECT DISTINCT x.vec_id
+  FROM b a JOIN b x ON a.cluster = x.cluster AND a.vec_id < x.vec_id
+  WHERE round(list_inner_product(a.v, x.v)
+              / (sqrt(list_inner_product(a.v, a.v))
+                 * sqrt(list_inner_product(x.v, x.v))), 6) >= {threshold}
+)
+SELECT b.vec_id::BIGINT AS vec_id, b.cluster::BIGINT AS cluster,
+       (d.vec_id IS NULL) AS kept
+FROM b LEFT JOIN drops d ON b.vec_id = d.vec_id
+ORDER BY vec_id
+"""
+
+
+SQL_SEMDEDUP = _sql_semdedup()
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2954,6 +3078,9 @@ QUERIES = {
     "utf8_stats": (q_utf8_stats, SQL_UTF8_STATS),
     "source_reputation": (q_source_reputation, SQL_SOURCE_REPUTATION),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "vocab_prune": (q_vocab_prune, SQL_VOCAB_PRUNE),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

@@ -1681,3 +1681,109 @@ def source_reputation(df: DataFrame, text_col: str = "text",
                     F.round(F.col("_gmean"), 4).alias("corpus_quality"),
                     (F.col("_qsum") / F.col("n_docs") < F.col("_gmean"))
                     .alias("low_rep")))
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               key_col: str = "doc_id", line_tokens: int = 2) -> DataFrame:
+    """WITHIN-document repeated-line removal (the C4 move of dropping
+    duplicated lines inside a page — nav bars, cookie banners, footer
+    text repeated mid-page) — the per-doc complement of the
+    corpus-level paragraph_dedup. A line survives only at its first
+    position; survivors rejoin in original order.
+
+    The fixture corpus is single-line word soup, so 'lines' are
+    deterministic fixed-size token chunks (same device as
+    paragraph_dedup's para_tokens). The whole operator is ONE per-row
+    projection: array_distinct preserves first-occurrence order in
+    Spark, so there is NO explode, NO window, NO shuffle — a 100 TB
+    corpus runs this entirely inside whole-stage codegen."""
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    nchunks = F.ceil(n / F.lit(line_tokens)).cast("int")
+    lines = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * line_tokens + 1,
+                                           line_tokens)))) \
+        .otherwise(F.array().cast("array<string>"))
+    uniq = F.array_distinct(lines)
+    return df.select(
+        F.col(key_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(uniq).cast("long").alias("n_kept"),
+        F.array_join(uniq, " ").alias("clean_text"))
+
+
+def vocab_prune_stats(df: DataFrame, k: int = 16, text_col: str = "text",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Fixed-vocab UNK analysis: prune the vocabulary to the top-k
+    types (count desc, token asc — a total order), then report per
+    document how many token occurrences fall outside it — the
+    '<unk> rate' a tokenizer with a capped vocab would see, the
+    pre-training sanity check for vocab-size selection.
+
+    Shape: one vocab aggregate; the head is TakeOrdered (k rows — the
+    full vocab is never globally sorted or windowed); scoring is a
+    BROADCAST left join of the exploded corpus against the k-row head
+    (never a shuffle join: the corpus side stays where it is), then a
+    per-doc re-aggregate keyed by the doc id."""
+    toks = df.select(F.col(key_col),
+                     F.explode(tokens_expr(F.col(text_col))).alias("w"))
+    head = (toks.groupBy("w").agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("w")).limit(k)
+            .select("w", F.lit(1).alias("_in")))
+    scored = (toks.join(F.broadcast(head), "w", "left")
+              .groupBy(key_col)
+              .agg(F.count("*").cast("long").alias("n_tokens"),
+                   F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                   .cast("long").alias("n_unk")))
+    return (df.select(key_col).join(scored, key_col, "left")
+            .select(F.col(key_col),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_unk", F.lit(0)).alias("n_unk"),
+                    F.round(F.coalesce("n_unk", F.lit(0)).cast("double")
+                            / F.greatest(F.coalesce("n_tokens", F.lit(0)),
+                                         F.lit(1)).cast("double"), 4)
+                    .alias("unk_ratio")))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.5,
+                   vec_col: str = "embedding", key_col: str = "vec_id",
+                   n_planes: int = 4, seed: int = 42,
+                   dim: int | None = None) -> DataFrame:
+    """SemDeDup-style embedding-level dedup VERDICT per vector: cluster
+    by the deterministic splitmix64 LSH bucket (the same hyperplanes
+    the ANN path replays in SQL), and within a cluster drop any vector
+    that has a LOWER-id neighbor with cosine >= threshold (min-id-wins,
+    single pass — deterministic, and the kept set provably contains no
+    same-cluster pair above the threshold: if id_a < id_b exceed it,
+    id_b is dropped by rule).
+
+    Unlike k-means SemDeDup the cluster assignment here is replayable
+    in SQL hyperplane-for-hyperplane, so the whole operator carries a
+    full oracle. Cross-cluster near-dups are missed by construction —
+    the same stated recall trade as embedding_near_dups; raise
+    n_planes for smaller clusters (speed) or lower it for recall.
+
+    Shape: bucket is a per-row expression; the pair join is an equi
+    join ON THE BUCKET (never cartesian); the drop set is a distinct
+    projection of the pair result; the verdict is a left join against
+    it. At 100 TB the bucket join is the only corpus-wide exchange."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[vec_col])
+    b = df.select(F.col(key_col), F.col(vec_col).alias("_v"),
+                  lsh_bucket(F.col(vec_col), dim, n_planes, seed)
+                  .alias("cluster"))
+    a = b.select(F.col(key_col).alias("_ia"), F.col("_v").alias("_va"),
+                 F.col("cluster").alias("_c"))
+    bb = b.select(F.col(key_col).alias("_ib"), F.col("_v").alias("_vb"),
+                  F.col("cluster").alias("_c"))
+    drops = (a.join(bb, "_c")
+             .filter(F.col("_ia") < F.col("_ib"))
+             .filter(F.round(cosine_pair_sim(F.col("_va"), F.col("_vb")), 6)
+                     >= threshold)
+             .select(F.col("_ib").alias(key_col)).distinct()
+             .withColumn("_drop", F.lit(1)))
+    return (b.join(drops, key_col, "left")
+            .select(F.col(key_col), F.col("cluster").cast("long")
+                    .alias("cluster"),
+                    F.col("_drop").isNull().alias("kept")))

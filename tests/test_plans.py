@@ -432,3 +432,35 @@ class TestRound5Session4Plans:
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         plan = plan_of(X.source_reputation(docs))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_line_dedup_zero_exchange(self, spark):
+        """Within-doc line dedup is a pure projection (array_distinct
+        in codegen) — no shuffle, no explode, no Python stage."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(X.line_dedup(docs, line_tokens=2))
+        for banned in ("Exchange", "Generate", "ArrowEvalPython",
+                       "BatchEvalPython"):
+            assert banned not in plan, banned
+
+    def test_vocab_prune_head_takeordered_and_broadcast(self, spark):
+        """The vocab head must be TakeOrdered (never a global sort of
+        the full vocab) and scoring must broadcast the k-row head."""
+        from crawlspark import textops as X
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = plan_of(X.vocab_prune_stats(docs, k=16))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_semdedup_bucket_join_not_cartesian(self, spark):
+        """The SemDeDup pair join is an equi join on the bucket —
+        a cartesian/NL join over the corpus would be fatal at scale."""
+        from crawlspark import textops as X
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = plan_of(X.semantic_dedup(emb, threshold=0.3))
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan, plan

@@ -783,3 +783,65 @@ class TestCorpusHealthOps:
         assert got["good"].src_quality > got["bad"].src_quality
         # both rows carry the same corpus mean
         assert got["good"].corpus_quality == got["bad"].corpus_quality
+
+
+class TestLineVocabSemOps:
+    def test_line_dedup_keeps_first_occurrence(self, spark):
+        # lines of 2 tokens: "a b | c d | a b | e f" -> dup "a b" dropped
+        df = spark.createDataFrame([(1, "a b c d a b e f"), (2, None)],
+                                   "doc_id long, text string")
+        got = {r.doc_id: r for r in X.line_dedup(df, line_tokens=2).collect()}
+        assert got[1].n_lines == 4 and got[1].n_kept == 3
+        assert got[1].clean_text == "a b c d e f"
+        assert got[2].n_lines == 0 and got[2].clean_text == ""
+
+    def test_line_dedup_ragged_tail(self, spark):
+        # 5 tokens at line_tokens=2 -> 3 lines, last is the 1-token tail
+        df = spark.createDataFrame([(1, "a b a b x")],
+                                   "doc_id long, text string")
+        r = X.line_dedup(df, line_tokens=2).collect()[0]
+        assert r.n_lines == 3 and r.n_kept == 2 and r.clean_text == "a b x"
+
+    def test_vocab_prune_unk_accounting(self, spark):
+        # vocab head k=2 -> {"a" (4x), "b" (3x)}; "z","q" are UNK
+        df = spark.createDataFrame(
+            [(1, "a a b z"), (2, "a b q q"), (3, "a b"), (4, None)],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.n_unk, r.unk_ratio)
+               for r in X.vocab_prune_stats(df, k=2).collect()}
+        assert got[1] == (4, 1, 0.25)
+        assert got[2] == (4, 2, 0.5)
+        assert got[3] == (2, 0, 0.0)
+        assert got[4] == (0, 0, 0.0)
+
+    def test_semantic_dedup_drop_rule(self, spark):
+        # identical vectors share a bucket and cosine 1.0 -> only the
+        # min id survives; the orthogonal-ish singleton is kept
+        rows = [(1, [1.0] * 64), (2, [1.0] * 64), (3, [1.0] * 64),
+                (9, [1.0, -1.0] * 32)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r.vec_id: r for r in
+               X.semantic_dedup(df, threshold=0.95).collect()}
+        assert got[1].kept is True
+        assert got[2].kept is False and got[3].kept is False
+        assert got[9].kept is True
+        assert got[1].cluster == got[2].cluster == got[3].cluster
+
+    def test_semantic_dedup_kept_set_has_no_close_pair(self, spark, emb):
+        # the min-id-wins invariant: no same-cluster KEPT pair may
+        # exceed the threshold
+        v = X.semantic_dedup(emb, threshold=0.3, n_planes=4)
+        kept = v.filter("kept").join(
+            emb.select("vec_id", "embedding"), "vec_id")
+        a = kept.select(F.col("vec_id").alias("ia"),
+                        F.col("embedding").alias("va"),
+                        F.col("cluster").alias("c"))
+        b = kept.select(F.col("vec_id").alias("ib"),
+                        F.col("embedding").alias("vb"),
+                        F.col("cluster").alias("c"))
+        viol = (a.join(b, "c").filter(F.col("ia") < F.col("ib"))
+                .filter(F.round(X.cosine_pair_sim(F.col("va"), F.col("vb")),
+                                6) >= 0.3))
+        assert viol.count() == 0
+        # and something was actually dropped at this threshold
+        assert v.filter("NOT kept").count() > 0
