@@ -3010,6 +3010,43 @@ ORDER BY vec_id
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+def q_cdc_chunks(spark, sf):
+    """Content-defined chunking (textops.cdc_chunks): md5-boundary
+    token chunks with per-chunk content hashes — the storage-dedup
+    key a recrawl store would use. Oracle replays the boundary rule
+    and the window-sum chunk ids in SQL."""
+    docs = _t(spark, sf, "documents")
+    return (X.cdc_chunks(docs, modulus=8)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "chunk_idx", "n_tokens", "chunk_md5")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+SQL_CDC_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), pos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+), flag AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN ('0x' || substr(md5(w), 1, 15))::UBIGINT % 8 = 0
+              THEN 1 ELSE 0 END AS f
+  FROM pos
+), ch AS (
+  SELECT doc_id, pos, w,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+  FROM flag
+)
+SELECT doc_id::BIGINT AS doc_id, chunk_idx::BIGINT AS chunk_idx,
+       count(*)::BIGINT AS n_tokens,
+       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+FROM ch GROUP BY doc_id, chunk_idx
+ORDER BY doc_id, chunk_idx
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3081,6 +3118,7 @@ QUERIES = {
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "vocab_prune": (q_vocab_prune, SQL_VOCAB_PRUNE),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

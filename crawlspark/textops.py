@@ -1787,3 +1787,42 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
             .select(F.col(key_col), F.col("cluster").cast("long")
                     .alias("cluster"),
                     F.col("_drop").isNull().alias("kept")))
+
+
+def cdc_chunks(df: DataFrame, modulus: int = 8, text_col: str = "text",
+               key_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/casync storage-dedup
+    primitive, token-level): a token OPENS a new chunk when
+    md5(token) % modulus == 0, so chunk boundaries depend only on
+    LOCAL content — insert one word at the front of a page and every
+    chunk after the next boundary still hashes identically, which is
+    what makes CDC dedupe recrawls where fixed-size chunking cannot.
+    Expected chunk length ~= modulus tokens.
+
+    Returns exploded rows (key, chunk_idx, n_tokens, chunk_md5) —
+    chunk_md5 over the space-joined chunk text is the dedup key a
+    content store would use.
+
+    Shape: tokenize + boundary-flag are per-row expressions; the
+    running boundary count (chunk id per token) is a window sum
+    PARTITIONED BY DOC ordered by position — the only exchange is the
+    explode shuffle keyed by the doc id, bounded by document length
+    (no corpus-wide key). Production rolling hashes (gear/buzhash)
+    are cheaper per byte; md5-per-token is chosen because both
+    engines replay it bit-for-bit (the simhash/KMV precedent)."""
+    toks = tokens_expr(F.col(text_col))
+    ex = (df.select(F.col(key_col),
+                    F.posexplode(toks).alias("pos", "w"))
+          .withColumn("_flag", (F.conv(F.substring(F.md5("w"), 1, 15),
+                                       16, 10).cast("long")
+                                % modulus == 0).cast("int")))
+    wc = (Window.partitionBy(key_col).orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    chunked = ex.withColumn("chunk_idx", F.sum("_flag").over(wc))
+    return (chunked.groupBy(key_col, "chunk_idx")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.md5(F.concat_ws(
+                     " ", F.transform(F.array_sort(F.collect_list(
+                         F.struct("pos", "w"))), lambda s: s["w"])))
+                 .alias("chunk_md5"))
+            .withColumn("chunk_idx", F.col("chunk_idx").cast("long")))

@@ -845,3 +845,35 @@ class TestLineVocabSemOps:
         assert viol.count() == 0
         # and something was actually dropped at this threshold
         assert v.filter("NOT kept").count() > 0
+
+
+class TestCdcChunks:
+    def test_boundary_shift_invariance(self, spark):
+        # CDC's defining property: prepending tokens changes only the
+        # chunks before the next boundary — later chunk hashes survive
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        df = spark.createDataFrame(
+            [(1, base), (2, "INSERTED PREFIX " + base)],
+            "doc_id long, text string")
+        got = X.cdc_chunks(df, modulus=4).collect()
+        h1 = {r.chunk_md5 for r in got if r.doc_id == 1}
+        h2 = {r.chunk_md5 for r in got if r.doc_id == 2}
+        shared = h1 & h2
+        # everything after the first boundary downstream of the edit
+        # is identical content -> most chunks must be shared
+        assert len(shared) >= len(h1) - 2, (len(shared), len(h1))
+
+    def test_chunks_partition_the_tokens(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                                   "doc_id long, text string")
+        rows = X.cdc_chunks(df, modulus=4).collect()
+        assert sum(r.n_tokens for r in rows) == 10
+        idx = sorted(r.chunk_idx for r in rows)
+        assert idx == list(range(idx[0], idx[0] + len(idx)))
+
+    def test_parallelism_invariant(self, spark):
+        rows = [(i, f"tok{i} " * 5 + "common words here") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, X.cdc_chunks(df).collect()))
+        b = sorted(map(tuple, X.cdc_chunks(df.repartition(7)).collect()))
+        assert a == b
