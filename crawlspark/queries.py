@@ -3047,6 +3047,104 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q_cms_freq(spark, sf):
+    """Count-Min sketch frequency table (textops.cms_frequencies),
+    estimates beside exact counts — deterministic md5 bucketing, so
+    the oracle rebuilds the 4x64 sketch bucket-for-bucket and the
+    one-sided-error invariant (est >= exact) is a visible column."""
+    docs = _t(spark, sf, "documents")
+    return X.cms_frequencies(docs, depth=4, width=64).orderBy("w")
+
+
+SQL_CMS_FREQ = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE trim(lower(coalesce(text, ''))) != ''
+), rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+pairs AS (
+  SELECT w, r,
+         ('0x' || substr(md5(r::VARCHAR || ':' || w), 1, 15))::UBIGINT % 64
+           AS bucket
+  FROM toks, rows_
+), sketch AS (
+  SELECT r, bucket, count(*)::BIGINT AS cell FROM pairs GROUP BY r, bucket
+), vocab AS (
+  SELECT w, count(*)::BIGINT AS exact FROM toks GROUP BY w
+), vb AS (
+  SELECT v.w, v.exact, r.r,
+         ('0x' || substr(md5(r.r::VARCHAR || ':' || v.w), 1, 15))::UBIGINT % 64
+           AS bucket
+  FROM vocab v, rows_ r
+)
+SELECT vb.w, vb.exact, min(s.cell)::BIGINT AS cms_est,
+       (min(s.cell) - vb.exact)::BIGINT AS overcount
+FROM vb JOIN sketch s ON vb.r = s.r AND vb.bucket = s.bucket
+GROUP BY vb.w, vb.exact ORDER BY vb.w
+"""
+
+
+def q_bloom_audit(spark, sf):
+    """The URL-seen bloom layer (north_rule: 'partitioned bloom-filter
+    URL-seen set, salted by canonical-host hash') under the driver's
+    own run: build per-salt blooms over the even-doc_id membership
+    set, probe EVERY doc, and report per-salt hit/false-positive
+    counts. xxhash64 + the Kirsch-Mitzenmacher double hash are not
+    replayable in DuckDB, so the row is rows-only — but it carries
+    HARD in-query contracts (the ann_ivf pattern, explicit raises):
+    zero false negatives (the bloom guarantee) and a false-positive
+    rate within 5x the 1% build target."""
+    import crawlspark.dedup as D2
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id"), F.col("source").alias("host"))
+    keyed = docs.select(
+        "doc_id", "host",
+        D2.url_hash(F.col("host"), F.col("doc_id")).alias("url_hash"),
+        D2.salt_of(F.col("host")).alias("salt"),
+        (F.col("doc_id") % 2 == 0).alias("member"))
+    members = keyed.filter("member").select("url_hash", "salt")
+    blooms = D2.build_blooms(members, fpp=0.01)
+    probed = D2.bloom_might_contain(
+        keyed.select("salt", "url_hash", "doc_id", "member"), blooms)
+    per_salt = (probed.groupBy("salt")
+                .agg(F.count("*").cast("long").alias("n_probes"),
+                     F.sum(F.when(F.col("member"), 1).otherwise(0))
+                     .cast("long").alias("n_members"),
+                     F.sum(F.when(F.col("member")
+                                  & ~F.col("might_contain"), 1)
+                           .otherwise(0)).cast("long").alias("n_false_neg"),
+                     F.sum(F.when(~F.col("member")
+                                  & F.col("might_contain"), 1)
+                           .otherwise(0)).cast("long").alias("n_false_pos"))
+                .orderBy("salt"))
+    rows = per_salt.collect()  # |salts| rows — contract check, not data
+    fn = sum(r["n_false_neg"] for r in rows)
+    if fn:
+        raise RuntimeError(f"bloom_audit: {fn} false negatives — the "
+                           "bloom guarantee is broken")
+    n_non = sum(r["n_probes"] - r["n_members"] for r in rows)
+    n_fp = sum(r["n_false_pos"] for r in rows)
+    if n_non and n_fp / n_non > 0.05:
+        raise RuntimeError(
+            f"bloom_audit: fp rate {n_fp / n_non:.4f} exceeds 5x the "
+            "1% build target — bloom sizing is broken")
+    return spark.createDataFrame(rows, per_salt.schema)
+
+
+def q_bpe_merges(spark, sf):
+    """Tokenizer training (textops.bpe_learn): the top-8 BPE merges
+    learned from the corpus's own word-frequency table. Genuinely
+    iterative (each merge changes the pair counts) — rows-only by
+    design; the algorithm is pinned against an independent pure-Python
+    BPE reference in tests/test_textops.py and is deterministic via
+    the (count desc, pair asc) total-order argmax."""
+    docs = _t(spark, sf, "documents")
+    merges = X.bpe_learn(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(r, a, b, c) for (r, a, b, c) in merges],
+        "rank long, lhs string, rhs string, pair_count long")
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3119,6 +3217,9 @@ QUERIES = {
     "vocab_prune": (q_vocab_prune, SQL_VOCAB_PRUNE),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
+    "cms_freq": (q_cms_freq, SQL_CMS_FREQ),
+    "bloom_audit": (q_bloom_audit, None),
+    "bpe_merges": (q_bpe_merges, None),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
     "requirements_concat": (q_requirements_concat, SQL_REQUIREMENTS_CONCAT),
     "vnw_pagination": (q_vnw_pagination, SQL_VNW_PAGINATION),

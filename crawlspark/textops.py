@@ -1826,3 +1826,94 @@ def cdc_chunks(df: DataFrame, modulus: int = 8, text_col: str = "text",
                          F.struct("pos", "w"))), lambda s: s["w"])))
                  .alias("chunk_md5"))
             .withColumn("chunk_idx", F.col("chunk_idx").cast("long")))
+
+
+def cms_frequencies(df: DataFrame, depth: int = 4, width: int = 64,
+                    text_col: str = "text") -> DataFrame:
+    """Count-Min sketch frequency estimation (Cormode-Muthukrishnan),
+    verified against exact counts: a depth x width counter matrix
+    where row j buckets tokens by md5(j:token); a token's estimate is
+    the MIN over rows of its bucket sums. Deterministic given the
+    hash, so — like the KMV sketch — the DuckDB oracle replays the
+    whole sketch bucket-for-bucket. The CMS invariant est >= exact
+    (one-sided error) is returned as a checkable column.
+
+    Shape: ONE corpus explode fans out to depth (row, bucket) pairs
+    (a posexplode over a depth-sized array — depth x rows, still
+    map-local); the sketch is a depth*width-row grouped sum (tiny,
+    broadcast back); vocab estimates join the sketch per row and take
+    the grouped min. At 100 TB the sketch stays 256 counters — that
+    IS the point of the sketch."""
+    toks = df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+    buckets = F.array(*[
+        (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(j)),
+                                              F.col("w"))), 1, 15), 16, 10)
+         .cast("long") % width).alias(f"b{j}")
+        for j in range(depth)])
+    pairs = (toks.select("w", F.posexplode(buckets).alias("row", "bucket")))
+    sketch = (pairs.groupBy("row", "bucket")
+              .agg(F.count("*").cast("long").alias("cell")))
+    vocab = toks.groupBy("w").agg(F.count("*").cast("long").alias("exact"))
+    vb = (vocab.select("w", "exact",
+                       F.posexplode(buckets).alias("row", "bucket")))
+    est = (vb.join(F.broadcast(sketch), ["row", "bucket"])
+           .groupBy("w", "exact")
+           .agg(F.min("cell").alias("cms_est")))
+    return est.select("w", "exact", "cms_est",
+                      (F.col("cms_est") - F.col("exact")).cast("long")
+                      .alias("overcount"))
+
+
+def bpe_learn(df: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> list[tuple[int, str, str, int]]:
+    """Learn the top-N byte-pair-encoding merges from the corpus —
+    the tokenizer-training step of an LLM data pipeline (Sennrich et
+    al. 2016). Classic char-level BPE over the WORD FREQUENCY table:
+    each iteration counts adjacent symbol pairs weighted by word
+    frequency, merges the argmax pair (count desc, pair asc — a total
+    order, so the learned vocabulary is deterministic), and rewrites
+    the symbol sequences with a greedy left-to-right fold.
+
+    Returns [(rank, left, right, count)] — a driver-side list: each
+    merge is one aggregate + one argmax ACTION on the VOCAB-sized
+    frame (tokenizer training is an offline loop by nature; the
+    corpus is scanned exactly once, for the word counts). The
+    sequence rewrite is a per-row HOF fold — no shuffle. At 100 TB
+    the iteration cost is bounded by |vocab|, not corpus size."""
+    words = (df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+    chars = F.filter(F.split(F.col("w"), ""), lambda s: s != "")
+    seqs = words.select(
+        "c", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = seqs.select(
+            "c", F.explode(F.when(
+                F.size("syms") >= 2,
+                F.transform(F.sequence(F.lit(0), F.size("syms") - 2),
+                            lambda i: F.struct(
+                                F.element_at("syms", i + 1).alias("l"),
+                                F.element_at("syms", i + 2).alias("r"))))
+                .otherwise(F.array().cast(
+                    "array<struct<l:string,r:string>>"))).alias("p"))
+        best = (pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("c").cast("long").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1).collect())
+        if not best:
+            break
+        a, b, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((rank, a, b, int(cnt)))
+        ab = a + b
+        fold = F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == a) & (s == b),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(ab))))
+            .otherwise(F.concat(acc, F.array(s))))
+        nxt = seqs.select("c", fold.alias("syms")).persist()
+        seqs.unpersist()
+        seqs = nxt
+    seqs.unpersist()
+    return merges

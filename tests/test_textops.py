@@ -877,3 +877,64 @@ class TestCdcChunks:
         a = sorted(map(tuple, X.cdc_chunks(df).collect()))
         b = sorted(map(tuple, X.cdc_chunks(df.repartition(7)).collect()))
         assert a == b
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Independent pure-Python BPE (Sennrich-style): argmax adjacent
+    pair by (count desc, pair asc), greedy left-to-right merge."""
+    seqs = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for w, c in word_counts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, cnt))
+        for w in seqs:
+            s, out = seqs[w], []
+            for sym in s:
+                if out and out[-1] == a and sym == b:
+                    out[-1] = a + b
+                else:
+                    out.append(sym)
+            seqs[w] = out
+    return merges
+
+
+class TestSketchAndBpe:
+    def test_cms_one_sided_error(self, spark, docs):
+        rows = X.cms_frequencies(docs, depth=4, width=64).collect()
+        assert len(rows) == 31  # the fixture vocab
+        for r in rows:
+            assert r.cms_est >= r.exact and r.overcount == r.cms_est - r.exact
+
+    def test_cms_exact_when_no_collision(self, spark):
+        # 3 tokens in a 64-bucket sketch: collisions are unlikely at
+        # every depth simultaneously -> min over rows is exact
+        df = spark.createDataFrame([(1, "x x x y z")],
+                                   "doc_id long, text string")
+        got = {r.w: (r.exact, r.cms_est)
+               for r in X.cms_frequencies(df).collect()}
+        assert got["x"] == (3, 3) and got["y"] == (1, 1)
+
+    def test_bpe_matches_independent_reference(self, spark):
+        rows = [(1, "low low low lower lower newest newest newest"),
+                (2, "newest newest newest widest widest widest")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        wc = {}
+        for _, t in rows:
+            for w in t.split():
+                wc[w] = wc.get(w, 0) + 1
+        want = _bpe_reference(wc, 6)
+        got = X.bpe_learn(df, n_merges=6)
+        assert got == want, (got, want)
+
+    def test_bpe_parallelism_invariant(self, spark):
+        df = spark.createDataFrame(
+            [(i, "alpha beta beta gamma") for i in range(20)],
+            "doc_id long, text string")
+        assert X.bpe_learn(df, 4) == X.bpe_learn(df.repartition(9), 4)
