@@ -3145,6 +3145,72 @@ def q_bpe_merges(spark, sf):
         "rank long, lhs string, rhs string, pair_count long")
 
 
+def q_minhash_acc(spark, sf):
+    """MinHash accuracy audit (textops.minhash_accuracy) on a modulo
+    subset: 8-perm signature estimates vs exact shingle Jaccard per
+    pair, with the absolute error — the num_perm justification table.
+    Oracle replays signatures, shingle sets, and the arithmetic."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return (X.minhash_accuracy(docs, num_perm=8, min_jaccard=0.1)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    "est_jaccard", "exact_jaccard", "abs_err")
+            .orderBy("id_a", "id_b"))
+
+
+SQL_MINHASH_ACC = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 5 = 0 AND trim(coalesce(text, '')) != ''
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS s
+  FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i)
+  WHERE i <= len(t) - 1
+), sig AS (
+  SELECT doc_id,
+         min(md5('0:' || s)) AS mh0, min(md5('1:' || s)) AS mh1,
+         min(md5('2:' || s)) AS mh2, min(md5('3:' || s)) AS mh3,
+         min(md5('4:' || s)) AS mh4, min(md5('5:' || s)) AS mh5,
+         min(md5('6:' || s)) AS mh6, min(md5('7:' || s)) AS mh7
+  FROM sh GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), ex AS (
+  SELECT ia, ib,
+         round(i::DOUBLE / (sa.n + sb.n - i), 4) AS exact_jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = ia
+             JOIN sizes sb ON sb.doc_id = ib
+  WHERE round(i::DOUBLE / (sa.n + sb.n - i), 4) >= 0.1
+)
+SELECT ex.ia::BIGINT AS id_a, ex.ib::BIGINT AS id_b,
+       round(((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END))::DOUBLE / 8,
+             4) AS est_jaccard,
+       ex.exact_jaccard,
+       round(abs(round(((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END)
+            + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END))::DOUBLE / 8, 4)
+                 - ex.exact_jaccard), 4) AS abs_err
+FROM ex JOIN sig a ON a.doc_id = ex.ia JOIN sig b ON b.doc_id = ex.ib
+ORDER BY id_a, id_b
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3218,6 +3284,7 @@ QUERIES = {
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "cms_freq": (q_cms_freq, SQL_CMS_FREQ),
+    "minhash_acc": (q_minhash_acc, SQL_MINHASH_ACC),
     "bloom_audit": (q_bloom_audit, None),
     "bpe_merges": (q_bpe_merges, None),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),

@@ -1917,3 +1917,46 @@ def bpe_learn(df: DataFrame, n_merges: int = 8,
         seqs = nxt
     seqs.unpersist()
     return merges
+
+
+def minhash_accuracy(df: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id", num_perm: int = 8,
+                     shingle_n: int = 2,
+                     min_jaccard: float = 0.1) -> DataFrame:
+    """MinHash sketch-accuracy audit (the third of the sketch trilogy,
+    after KMV cardinality and CMS frequency): for every pair above
+    min_jaccard EXACT shingle Jaccard, report the signature-equality
+    estimate (matching slots / num_perm) beside the exact value and
+    the absolute error — the table that justifies a chosen num_perm
+    before an LSH campaign. E[est] = exact by min-wise hashing; with
+    num_perm=8 the estimate quantizes to eighths.
+
+    Caller bounds the input (modulo subset — the ngram_jaccard
+    precedent): the pair join is all-pairs BY DESIGN because the audit
+    wants true negatives too, and all-pairs is only sane on a bounded
+    sample. Signatures and shingle sets compute once each; est/exact
+    arithmetic is per-pair expressions; est uses /num_perm (a power of
+    two) so the division is float-exact in both engines."""
+    sig = minhash_signature(df, text_col, key_col, num_perm, shingle_n)
+    sh = df.select(F.col(key_col),
+                   F.array_distinct(word_shingles(F.col(text_col),
+                                                  shingle_n)).alias("sh")) \
+           .filter(F.size("sh") > 0)
+    base = sig.join(sh, key_col)
+    a = base.select(*[F.col(c).alias(f"a_{c}") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"b_{c}") for c in base.columns])
+    pairs = a.join(b, F.col(f"a_{key_col}") < F.col(f"b_{key_col}"))
+    eq = sum(F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+             for i in range(num_perm))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    exact = inter.cast("double") / union.cast("double")
+    return (pairs.select(F.col(f"a_{key_col}").alias("id_a"),
+                         F.col(f"b_{key_col}").alias("id_b"),
+                         F.round(eq.cast("double") / num_perm, 4)
+                         .alias("est_jaccard"),
+                         F.round(exact, 4).alias("exact_jaccard"))
+            .filter(F.col("exact_jaccard") >= min_jaccard)
+            .withColumn("abs_err",
+                        F.round(F.abs(F.col("est_jaccard")
+                                      - F.col("exact_jaccard")), 4)))

@@ -938,3 +938,27 @@ class TestSketchAndBpe:
             [(i, "alpha beta beta gamma") for i in range(20)],
             "doc_id long, text string")
         assert X.bpe_learn(df, 4) == X.bpe_learn(df.repartition(9), 4)
+
+
+class TestMinhashAccuracy:
+    def test_identical_docs_estimate_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f"), (3, "z y x w v u")],
+            "doc_id long, text string")
+        rows = {(r.id_a, r.id_b): r
+                for r in X.minhash_accuracy(df, min_jaccard=0.01).collect()}
+        r = rows[(1, 2)]
+        assert r.est_jaccard == 1.0 and r.exact_jaccard == 1.0
+        assert r.abs_err == 0.0
+        assert (1, 3) not in rows and (2, 3) not in rows  # disjoint shingles
+
+    def test_estimate_bounded_and_quantized(self, spark, docs):
+        sub = docs.filter(F.col("doc_id") % 5 == 0)
+        rows = X.minhash_accuracy(sub, num_perm=8, min_jaccard=0.1).collect()
+        assert rows, "no pairs above 0.1 exact jaccard"
+        for r in rows:
+            assert 0.0 <= r.est_jaccard <= 1.0
+            assert round(r.est_jaccard * 8, 6) == int(round(r.est_jaccard * 8))
+        # the sketch must track the exact value on average
+        mean_err = sum(r.abs_err for r in rows) / len(rows)
+        assert mean_err < 0.35, mean_err
