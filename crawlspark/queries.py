@@ -3093,18 +3093,16 @@ def q_bloom_audit(spark, sf):
     HARD in-query contracts (the ann_ivf pattern, explicit raises):
     zero false negatives (the bloom guarantee) and a false-positive
     rate within 5x the 1% build target."""
-    import crawlspark.dedup as D2
-
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id"), F.col("source").alias("host"))
     keyed = docs.select(
         "doc_id", "host",
-        D2.url_hash(F.col("host"), F.col("doc_id")).alias("url_hash"),
-        D2.salt_of(F.col("host")).alias("salt"),
+        D.url_hash(F.col("host"), F.col("doc_id")).alias("url_hash"),
+        D.salt_of(F.col("host")).alias("salt"),
         (F.col("doc_id") % 2 == 0).alias("member"))
     members = keyed.filter("member").select("url_hash", "salt")
-    blooms = D2.build_blooms(members, fpp=0.01)
-    probed = D2.bloom_might_contain(
+    blooms = D.build_blooms(members, fpp=0.01)
+    probed = D.bloom_might_contain(
         keyed.select("salt", "url_hash", "doc_id", "member"), blooms)
     per_salt = (probed.groupBy("salt")
                 .agg(F.count("*").cast("long").alias("n_probes"),
@@ -3147,10 +3145,14 @@ def q_bpe_merges(spark, sf):
 
 def q_minhash_acc(spark, sf):
     """MinHash accuracy audit (textops.minhash_accuracy) on a modulo
-    subset: 8-perm signature estimates vs exact shingle Jaccard per
-    pair, with the absolute error — the num_perm justification table.
-    Oracle replays signatures, shingle sets, and the arithmetic."""
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    subset CAPPED at a fixed id range (<= 660 docs at any sf — the
+    audit is all-pairs by design, so its cost must stay CONSTANT as
+    the corpus grows): 8-perm signature estimates vs exact shingle
+    Jaccard per pair, with the absolute error — the num_perm
+    justification table. Oracle replays signatures, shingle sets, and
+    the arithmetic."""
+    docs = _t(spark, sf, "documents").filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 3300))
     return (X.minhash_accuracy(docs, num_perm=8, min_jaccard=0.1)
             .select(F.col("id_a").cast("long").alias("id_a"),
                     F.col("id_b").cast("long").alias("id_b"),
@@ -3161,7 +3163,8 @@ def q_minhash_acc(spark, sf):
 SQL_MINHASH_ACC = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-  FROM documents WHERE doc_id % 5 = 0 AND trim(coalesce(text, '')) != ''
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 3300
+    AND trim(coalesce(text, '')) != ''
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS s
   FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i)
