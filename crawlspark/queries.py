@@ -3214,6 +3214,53 @@ ORDER BY id_a, id_b
 """
 
 
+def q_frontier_age_priority(spark, sf):
+    """The north_star priority formula itself —
+    frontier.priority_expr(depth, host_rank, recrawl_age) =
+    coalesce(rank, .5)/(1+depth) * (1+age/24) — under the oracle gate
+    over events-as-frontier (depth from the id, rank from value,
+    recrawl age = hours behind the newest event). Top-500 via
+    TakeOrdered on the ROUNDED priority with an id tie-break, so the
+    boundary is engine-stable."""
+    from . import frontier as FR
+
+    e = _t(spark, sf, "events")
+    mx = e.agg(F.max("ts").alias("_mt"))
+    p = (e.crossJoin(F.broadcast(mx))
+         .select("event_id",
+                 (F.col("event_id") % 5).cast("double").alias("depth"),
+                 F.col("value").alias("host_rank"),
+                 ((F.unix_micros(F.col("_mt").cast("timestamp"))
+                   - F.unix_micros(F.col("ts").cast("timestamp")))
+                  / F.lit(3600000000.0)).alias("age_h")))
+    prio = FR.priority_expr(F.col("depth"), F.col("host_rank"),
+                            F.col("age_h"))
+    return (p.select(F.col("event_id").cast("long").alias("event_id"),
+                     F.col("depth").cast("long").alias("depth"),
+                     F.round("age_h", 4).alias("age_h"),
+                     F.round(prio, 6).alias("priority"))
+            .orderBy(F.desc("priority"), F.asc("event_id"))
+            .limit(500))
+
+
+SQL_FRONTIER_AGE_PRIORITY = r"""
+WITH m AS (SELECT max(ts) AS mt FROM events),
+p AS (
+  SELECT event_id, (event_id % 5)::DOUBLE AS depth, value AS host_rank,
+         (epoch_us(m.mt) - epoch_us(ts)) / 3600000000.0 AS age_h
+  FROM events, m
+)
+SELECT event_id::BIGINT AS event_id, depth::BIGINT AS depth,
+       round(age_h, 4) AS age_h,
+       round(coalesce(host_rank, 0.5) / (1.0 + depth)
+             * (1.0 + age_h / 24.0), 6) AS priority
+FROM p
+ORDER BY round(coalesce(host_rank, 0.5) / (1.0 + depth)
+               * (1.0 + age_h / 24.0), 6) DESC, event_id ASC
+LIMIT 500
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3288,6 +3335,8 @@ QUERIES = {
     "cdc_chunks": (q_cdc_chunks, SQL_CDC_CHUNKS),
     "cms_freq": (q_cms_freq, SQL_CMS_FREQ),
     "minhash_acc": (q_minhash_acc, SQL_MINHASH_ACC),
+    "frontier_age_priority": (q_frontier_age_priority,
+                              SQL_FRONTIER_AGE_PRIORITY),
     "bloom_audit": (q_bloom_audit, None),
     "bpe_merges": (q_bpe_merges, None),
     "text_norm_search": (q_text_norm_search, SQL_TEXT_NORM),
