@@ -531,7 +531,22 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame,
         F.struct(F.col("key_b").alias("a"), F.col("key_a").alias("b"))))
         .alias("e"))
         .select("e.a", "e.b").distinct().persist())
-    labels = nodes.select("key", F.col("key").alias("lbl")).persist()
+    # r6: fold the FIRST propagation step into initialization. With
+    # labels(0) = key, round one's neighbor-min is just min(neighbor
+    # key) — computable directly from the edge list with no staged
+    # frame, no convergence action. Star/clique components (the
+    # overwhelming near-dup shape) then converge inside the loop's
+    # FIRST confirmation pass instead of its second, saving one full
+    # round of jobs; the fixpoint is unchanged (min-label propagation
+    # reaches the same labels from any intermediate state of the
+    # propagation lattice).
+    nbr0 = edges.groupBy("a").agg(F.min("b").alias("nlbl"))
+    labels = (nodes.join(nbr0, nodes["key"] == nbr0["a"], "left")
+              .select("key",
+                      F.least(F.col("key"),
+                              F.coalesce(F.col("nlbl"), F.col("key")))
+                      .alias("lbl"))
+              .persist())
     persisted = labels  # unpersist must hit the EXACT persisted plan
     for _ in range(max_iter):
         nbr = (edges.join(labels, edges["b"] == labels["key"])
@@ -543,7 +558,14 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame,
                           .alias("_new"),
                           F.col("lbl").alias("_old"))
                   .persist())
-        changed = staged.filter(F.col("_new") < F.col("_old")).limit(1).count()
+        # ONE full-scan aggregate both (a) answers the convergence
+        # check and (b) materializes every cached partition of
+        # `staged`. The previous filter(...).limit(1).count() could
+        # stop after a few partitions, leaving the rest uncached so
+        # the NEXT round's join re-ran this round's lineage for them.
+        changed = staged.agg(F.sum(
+            (F.col("_new") < F.col("_old")).cast("int")).alias("n")
+        ).first()["n"] or 0
         persisted.unpersist()
         persisted = staged
         labels = staged.select("key", F.col("_new").alias("lbl"))

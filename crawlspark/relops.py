@@ -101,6 +101,12 @@ def entity_rank(edges: DataFrame, iters: int = 5,
     bucket, but the sum is partial-agg'd map-side so the hot reducer
     receives pre-combined rows, not raw edges.
     """
+    # persisted FIRST: the edge list is referenced four times below
+    # (deg, the degree join, and both node-set legs) — when the caller
+    # hands an expensive pipeline (a JSON-extraction scan + distinct),
+    # every unpersisted reference re-runs it end to end (measured r6:
+    # the events pipeline ran 4x per call; LRU-evicted like any cache).
+    edges = edges.persist()
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())

@@ -161,11 +161,17 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     """MinHash signatures via lexicographic MIN over md5('<i>:'||shingle)
     — md5 is a uniform hash, so per-permutation lexicographic min is a
     valid min-wise scheme, and it is exactly reproducible in SQL.
+
     One explode + one grouped aggregate with num_perm partial mins
-    (map-side combined). Measured note: an array_min(transform(...))
-    zero-shuffle variant is ~8x SLOWER here — Catalyst re-inlines the
-    shingle-array expression into every permutation (no CSE across
-    collapsed projects), so the shuffle-bearing grouped form wins."""
+    (map-side combined). Measured anti-results, kept for the record:
+    an array_min(transform(...)) zero-shuffle variant is slower even
+    with the shingle array STAGED against re-inlining (r6, sf0.1,
+    local[32]: 6.4 s vs 1.1 s warm) — higher-order-function lambdas
+    evaluate interpreted, so the per-element md5 loses whole-stage
+    codegen, which outweighs saving the Exchange + SortAggregate pair
+    (min over STRING buffers cannot hash-aggregate). When the result
+    feeds a self-join, callers persist it rather than re-deriving it
+    per branch (minhash_lsh_pairs)."""
     sh = df.select(F.col(key_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"))
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh{i}")
             for i in range(num_perm)]
@@ -198,7 +204,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     set is too large to broadcast, switch the verify to
     ngram_jaccard_for_pairs."""
     rows_per_band = num_perm // bands
-    sig = minhash_signature(df, text_col, key_col, num_perm, shingle_n)
+    # persisted: the band self-join references the signature frame on
+    # BOTH sides — unpersisted, each side re-runs the whole shingle
+    # explode + grouped-min pipeline (and pays its Janino compile
+    # twice cold). The frame is (key, num_perm hashes) — tiny relative
+    # to the corpus at any scale — and LRU-evicted like cand below.
+    sig = minhash_signature(df, text_col, key_col, num_perm,
+                            shingle_n).persist()
     band_structs = [
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}")
@@ -821,7 +833,12 @@ def lm_quality_score(df: DataFrame, text_col: str = "text",
     guaranteed-identical digits are well inside 1e-4."""
     toks = df.select(F.col(key_col),
                      F.explode(tokens_expr(F.col(text_col))).alias("w"))
-    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    # persisted: `counts` feeds the total action AND the vocab top-K —
+    # unpersisted, the vocab reference re-runs the corpus explode+agg
+    # a second time (and the scoring join a third). With the cache the
+    # corpus is exploded exactly twice: once into counts, once into
+    # the scoring join. The frame is vocab-sized.
+    counts = toks.groupBy("w").agg(F.count("*").alias("c")).persist()
     total = counts.agg(F.sum("c")).first()[0] or 1
     vocab = (counts.orderBy(F.col("c").desc(), "w").limit(vocab_k)
              .select("w", (-F.log2(F.col("c") / F.lit(float(total))))
@@ -1769,7 +1786,15 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.5,
     projection of the pair result; the verdict is a left join against
     it. At 100 TB the bucket join is the only corpus-wide exchange."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[vec_col])
+        head = df.select(vec_col).first()
+        if head is None or head[vec_col] is None:
+            # empty frame (or null head vector): no dimension to infer —
+            # fail loudly instead of the latent TypeError on
+            # None-subscript (ADVICE r5), mirroring embedding_near_dups
+            raise ValueError(
+                "semantic_dedup: cannot infer embedding dim from an "
+                "empty DataFrame; pass dim= explicitly")
+        dim = len(head[vec_col])
     b = df.select(F.col(key_col), F.col(vec_col).alias("_v"),
                   lsh_bucket(F.col(vec_col), dim, n_planes, seed)
                   .alias("cluster"))
@@ -1838,13 +1863,20 @@ def cms_frequencies(df: DataFrame, depth: int = 4, width: int = 64,
     whole sketch bucket-for-bucket. The CMS invariant est >= exact
     (one-sided error) is returned as a checkable column.
 
-    Shape: ONE corpus explode fans out to depth (row, bucket) pairs
-    (a posexplode over a depth-sized array — depth x rows, still
-    map-local); the sketch is a depth*width-row grouped sum (tiny,
-    broadcast back); vocab estimates join the sketch per row and take
-    the grouped min. At 100 TB the sketch stays 256 counters — that
-    IS the point of the sketch."""
-    toks = df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+    Shape: ONE corpus explode (persisted — the sketch aggregate and
+    the exact vocab count are independent subtrees, and unpersisted
+    each would re-run the explode; the ADVICE-flagged docstring/plan
+    mismatch) fans out to depth (row, bucket) pairs (a posexplode over
+    a depth-sized array — depth x rows, still map-local); the sketch
+    is a depth*width-row grouped sum (tiny, broadcast back); vocab
+    estimates join the sketch per row and take the grouped min. At
+    100 TB the sketch stays 256 counters — that IS the point of the
+    sketch. (At corpus scale persisting the raw token stream is the
+    wrong trade — there, drop the persist and pay the second explode,
+    or pre-aggregate to the vocab first; the cache is LRU-evicted
+    either way.)"""
+    toks = (df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
+            .persist())
     buckets = F.array(*[
         (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(j)),
                                               F.col("w"))), 1, 15), 16, 10)
@@ -1880,11 +1912,19 @@ def bpe_learn(df: DataFrame, n_merges: int = 8,
     corpus is scanned exactly once, for the word counts). The
     sequence rewrite is a per-row HOF fold — no shuffle. At 100 TB
     the iteration cost is bounded by |vocab|, not corpus size."""
+    # words is PERSISTED so recompute of any child stops at the
+    # vocab-sized frame instead of re-scanning the corpus (the r5
+    # unpersist ordering dropped the only cached ancestor before the
+    # child materialized, so every merge re-ran the corpus scan +
+    # word-count shuffle — the ADVICE-flagged contradiction of the
+    # 'corpus is scanned exactly once' contract).
     words = (df.select(F.explode(tokens_expr(F.col(text_col))).alias("w"))
-             .groupBy("w").agg(F.count("*").cast("long").alias("c")))
+             .groupBy("w").agg(F.count("*").cast("long").alias("c"))
+             .persist())
     chars = F.filter(F.split(F.col("w"), ""), lambda s: s != "")
     seqs = words.select(
         "c", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")).persist()
+    prev = None
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pairs = seqs.select(
@@ -1912,10 +1952,19 @@ def bpe_learn(df: DataFrame, n_merges: int = 8,
                 F.concat(F.slice(acc, 1, F.size(acc) - 1),
                          F.array(F.lit(ab))))
             .otherwise(F.concat(acc, F.array(s))))
+        # the new frame is persisted LAZILY; unpersisting its parent
+        # here would drop the only cached ancestor before the child
+        # ever materializes (the next collect would recompute the
+        # whole lineage). Defer: drop the GRANDPARENT, which the next
+        # collect no longer reads.
         nxt = seqs.select("c", fold.alias("syms")).persist()
-        seqs.unpersist()
-        seqs = nxt
+        if prev is not None:
+            prev.unpersist()
+        prev, seqs = seqs, nxt
+    if prev is not None:
+        prev.unpersist()
     seqs.unpersist()
+    words.unpersist()
     return merges
 
 
@@ -1942,7 +1991,11 @@ def minhash_accuracy(df: DataFrame, text_col: str = "text",
                    F.array_distinct(word_shingles(F.col(text_col),
                                                   shingle_n)).alias("sh")) \
            .filter(F.size("sh") > 0)
-    base = sig.join(sh, key_col)
+    # persisted: the all-pairs self-join references base on BOTH sides;
+    # unpersisted, the signature aggregate and the shingle arrays are
+    # each computed twice. The frame is |subset| rows (the caller caps
+    # the input), so the cache is audit-sized.
+    base = sig.join(sh, key_col).persist()
     a = base.select(*[F.col(c).alias(f"a_{c}") for c in base.columns])
     b = base.select(*[F.col(c).alias(f"b_{c}") for c in base.columns])
     pairs = a.join(b, F.col(f"a_{key_col}") < F.col(f"b_{key_col}"))
