@@ -27,7 +27,8 @@ from . import relops as R
 from . import textops as X
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       wide: bool = False) -> DataFrame:
     """Table loader with small-input fan-out. A table under one
     maxPartitionBytes arrives as a SINGLE input split, so every
     downstream stage (shingle explodes, md5 signatures) runs in ONE
@@ -38,15 +39,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     splits and this branch never fires (filters still push through a
     Repartition node to the scan — PushPredicateThroughNonJoin).
 
-    Fan-out is limited to the text/embedding tables: their pipelines
+    Fan-out defaults to the text/embedding tables: their pipelines
     are md5/count/per-row-array ops whose results are independent of
     row placement. The TPC-H-family queries SUM doubles, where a
     32-way partial order can flip a round(x, 2) by one ulp against
     the oracle (observed on pricing_summary) — and they are scan-
-    bound, not compute-bound, so fan-out buys them nothing."""
+    bound, not compute-bound, so fan-out buys them nothing. Queries
+    whose per-row work is the cost (regex parses, JSON extraction,
+    URL canonicalization) and whose outputs carry no partial-order-
+    sensitive float aggregate opt in with wide=True (r6)."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if name not in ("documents", "embeddings"):
+    if name not in ("documents", "embeddings") and not wide:
         return df
     try:
         sz = (os.path.getsize(path) if os.path.isfile(path) else
@@ -435,7 +439,7 @@ FROM ranked ORDER BY event_id
 def q_job_id_regex(spark, sf):
     """E7 job-id-from-url regex (careerviet_extractor.go:306-315) over
     urls synthesized from orders."""
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders", wide=True)
     url = F.concat(F.lit("https://viec.example.vn/tin."),
                    F.upper(F.conv(F.col("o_orderkey").cast("string"), 10, 16)),
                    F.lit(".html"))
@@ -455,7 +459,7 @@ FROM orders ORDER BY o_orderkey
 def q_pagination_rewrite(spark, sf):
     """E8 pagination-URL rewrite (careerviet_extractor.go:296-304):
     page N>1 gets -trang-N- infix."""
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders", wide=True)
     base = F.concat(F.lit("https://x.vn/viec-lam-"),
                     F.col("o_custkey").cast("string"), F.lit("-vi.html"))
     page = (F.col("o_orderkey") % 5 + 1).cast("int")
@@ -508,7 +512,7 @@ FROM part ORDER BY p_partkey
 def q_salary_parse(spark, sf):
     """N7 salary-string regex parse (normalizer.go:776-804) over strings
     synthesized from order prices."""
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders", wide=True)
     a = (F.col("o_totalprice") / 10000).cast("int")
     s = (F.when(F.col("o_orderkey") % 4 == 0,
                 F.format_string("%d - %d triệu", a, a + 5))
@@ -747,7 +751,7 @@ def q_api_projection(spark, sf):
     downstream. Payload synthesized identically in both engines."""
     from .rawproj import project_api_items
 
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders", wide=True)
     payload = F.concat(
         F.lit('{"id": "'), F.col("o_orderkey").cast("string"),
         F.lit('", "title": "Job '), F.col("o_orderkey").cast("string"),
@@ -1421,7 +1425,7 @@ def q_entity_rank(spark, sf):
     self-union re-running the extraction), 5 damped iterations; the
     oracle replays them with a recursive CTE (aggregate-in-recursion),
     round(6) absorbing float sum-order drift."""
-    e = _t(spark, sf, "events")
+    e = _t(spark, sf, "events", wide=True)
     k = F.get_json_object("props", "$.k")
     e0 = (e.filter(k.isNotNull())
           .select(F.concat(F.lit("u"), F.col("user_id")).alias("src"),
@@ -1699,7 +1703,7 @@ def q_url_canonical(spark, sf):
     the same regexp parse + list ops in DuckDB."""
     from .frontier import canonicalize_url
 
-    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    o = _t(spark, sf, "orders", wide=True).filter(F.col("o_orderkey") % 4 == 0)
     k = F.col("o_orderkey").cast("string")
     url = F.concat(
         F.lit("HTTP://Viec"), (F.col("o_orderkey") % 40).cast("string"),
@@ -1761,7 +1765,7 @@ def q_api_dual_shape(spark, sf):
     made every key even and left the envelope branch dead)."""
     from .rawproj import explode_api_items, project_api_items
 
-    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    o = _t(spark, sf, "orders", wide=True).filter(F.col("o_orderkey") % 7 == 0)
     k = F.col("o_orderkey").cast("string")
     body = (F.when(
         F.col("o_orderkey") % 2 == 0,
