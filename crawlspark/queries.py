@@ -1420,7 +1420,7 @@ def q_entity_rank(spark, sf):
     """Iterative PageRank (relops.entity_rank) over the user-item
     interaction graph pulled from the events props JSON — the
     host-rank term of the reference frontier priority computed from a
-    graph instead of config order (internal/config/sites.go). The
+    graph instead of static module config (internal/config/config.go). The
     bipartite edge set is symmetrized through ONE explode (no
     self-union re-running the extraction), 5 damped iterations; the
     oracle replays them with a recursive CTE (aggregate-in-recursion),

@@ -1,8 +1,8 @@
 """Relational operators Spark's DataFrame API lacks as primitives.
 
 The reference engine never needs these (its queries are single-table
-scans over Elasticsearch/Postgres — reference internal/repository/
-es_repository.go, internal/service/job_query.go), but an analytics
+scans over Elasticsearch/Postgres — reference internal/common/
+indexer/elasticsearch.go, internal/common/indexer/postgres.go), but an analytics
 engine over the same crawled corpus does: "what was the last list-page
 fetch before this detail fetch" is an as-of join, and frontier
 priority's host-rank term (BASELINE north_star: depth x host-rank x
@@ -82,8 +82,9 @@ def entity_rank(edges: DataFrame, iters: int = 5,
     """Fixed-iteration PageRank over an edge list (src, dst) — the
     host-rank term of the reference frontier's priority
     (BASELINE north_star: priority = depth x host-rank x recrawl-age;
-    the reference hard-codes per-site rank via its config order,
-    internal/config/sites.go — here it is computed from the graph).
+    the reference hard-codes per-site behaviour via its static module
+    config, internal/config/config.go — here rank is computed from
+    the graph).
 
     Every node MUST have outdegree >= 1 (pass an undirected edge list
     — both directions — to guarantee it); dangling-mass redistribution
@@ -107,11 +108,12 @@ def entity_rank(edges: DataFrame, iters: int = 5,
     # every unpersisted reference re-runs it end to end (measured r6:
     # the events pipeline ran 4x per call; LRU-evicted like any cache).
     edges = edges.persist()
-    nodes = (edges.select(F.col("src").alias("node"))
-             .union(edges.select(F.col("dst").alias("node")))
-             .distinct())
-    ncnt = F.broadcast(nodes.agg(F.count("*").cast("double").alias("_n")))
     deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    # every node appears as a source (the outdegree >= 1 contract
+    # above), so the node set IS deg's key set — no second union +
+    # distinct pass over the edge list
+    nodes = deg.select(F.col("src").alias("node"))
+    ncnt = F.broadcast(nodes.agg(F.count("*").cast("double").alias("_n")))
     e = edges.join(deg, "src").persist()
     anchored = nodes.crossJoin(ncnt).persist()
 

@@ -1221,8 +1221,9 @@ def build_inverted_index(df: DataFrame, text_col: str = "text",
     postings = ";"-joined "doc:tf:p0|p1|..." entries in doc order —
     the search-engine build step over the crawled corpus (the engine's
     batch twin of the reference's Elasticsearch index, SURVEY §2 K2 /
-    Q1/Q4 serving side; reference internal/repository/
-    es_repository.go ships documents to ES and lets ES build this).
+    Q1/Q4 serving side; the reference ships documents to ES and lets
+    ES build this — internal/common/indexer/elasticsearch.go:77-146
+    BulkIndex).
 
     Two grouped aggregates, both partial+final: (1) positions per
     (token, doc) — bounded by document length; (2) postings per token.

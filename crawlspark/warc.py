@@ -22,8 +22,8 @@ blob is a few hundred KB regardless of corpus size — ONE shuffle on
 the chunk key, then one Arrow-batched Python stage that walks each
 blob. No collect, no driver involvement; 100 TB is just more chunks.
 
-Reference: the Go crawler persists fetched pages per-URL
-(internal/crawler/crawler.go fetch loop); this module is the
+Reference: the Go crawler fetches and holds pages per-URL
+(internal/module/vieclam24h/scraper.go:49-70 fetchHTML loop); this module is the
 batch-ingest equivalent for WARC-packaged crawl dumps, built from the
 public ISO 28500 / IIPC warc-specifications layout only.
 """
