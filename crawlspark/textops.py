@@ -309,7 +309,16 @@ def ngram_jaccard(left: DataFrame, right: DataFrame, text_col: str,
                   F.col("_n").alias("n_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
                   F.col("_n").alias("n_b"))
-    j = pairs.join(a, "id_a").join(b, "id_b")
+    # r6: pin the pair frame as the broadcast side EXPLICITLY. It is
+    # broadcast-sized by the caller's contract, but it arrives as an
+    # InMemoryRelation whose size estimate is unknown at plan time, so
+    # the planner fell back to SortMergeJoin — AQE converted it back
+    # at runtime, but only after paying both shuffle writes. The hint
+    # removes the exchanges from the plan outright (guide §3.1: use an
+    # explicit broadcast when you know a side is small).
+    # Both verify sides are candidate-bounded (the id-prune upstream),
+    # so the b side is safely broadcast too — one streamed pass over a.
+    j = F.broadcast(pairs).join(a, "id_a").join(F.broadcast(b), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.col("n_a") + F.col("n_b") - inter
     return j.select(
