@@ -386,3 +386,22 @@ class TestKeepBestPerCluster:
                out.filter("kept").groupBy("cluster")
                   .agg(F.count("*").alias("n")).collect()}
         assert per == {1: 1, 4: 1, 6: 1}
+
+
+class TestDupClustersInitFold:
+    def test_deep_chain_after_folded_init(self, spark):
+        """r6: the first propagation step is folded into label
+        initialization. A 7-chain (diameter 6) still needs several
+        loop rounds AFTER the folded hop — pins that the fold changed
+        the starting point, not the fixpoint. Edges arrive in mixed
+        orientation to exercise the symmetrize + init path."""
+        import crawlspark.dedup as D
+
+        nodes = spark.createDataFrame([(i,) for i in range(9)], "key long")
+        pairs = spark.createDataFrame(
+            [(1, 0), (1, 2), (3, 2), (3, 4), (5, 4), (5, 6)],
+            "key_a long, key_b long")
+        got = {r.key: r.cluster
+               for r in D.dup_clusters(nodes, pairs).collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0,
+                       7: 7, 8: 8}

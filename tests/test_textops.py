@@ -962,3 +962,29 @@ class TestMinhashAccuracy:
         # the sketch must track the exact value on average
         mean_err = sum(r.abs_err for r in rows) / len(rows)
         assert mean_err < 0.35, mean_err
+
+
+class TestGroupedRankLazyOffsets:
+    def test_rank_and_totals_match_window_reference(self, spark):
+        """r6: grouped_rank's exclusive offsets moved from a driver
+        collect to a lazy prefix-sum window. Pin rank AND n_group
+        against the plain window reference at several partition
+        counts, including groups smaller than the partition count."""
+        from pyspark.sql import Window
+
+        rows = [(g, i, float((i * 29) % 11))
+                for g, n in (("en", 23), ("vi", 9), ("de", 1))
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, s double")
+        w = Window.partitionBy("lang").orderBy("s", "doc_id")
+        want = sorted(
+            (r.lang, r.doc_id, r.rk, r.n) for r in
+            df.withColumn("rk", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+              .collect())
+        for p in (1, 5, 16):
+            got = sorted(
+                (r.lang, r.doc_id, r.rank, r.n_group) for r in
+                X.grouped_rank(df, "lang", ["s", "doc_id"],
+                               num_partitions=p).collect())
+            assert got == want, p
