@@ -175,7 +175,7 @@ def q_sessionize(spark, sf):
     gap markers — identical in both engines."""
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf, "events", wide=True)
+    e = _t(spark, sf, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact microseconds on both engines: unix_timestamp/epoch would
     # truncate/keep sub-second fractions differently at boundaries
@@ -249,7 +249,7 @@ def q_dedup_three_way(spark, sf):
     presence marker, not a missing key), candidate value NULL for
     key%13==0; compare is null-safe (Redis GET semantics,
     deduplicator.go:60-66)."""
-    o = _t(spark, sf, "orders", wide=True)
+    o = _t(spark, sf, "orders")
     seen = (o.filter(F.col("o_orderdate") < _CUTOFF)
             .select(F.lit("tpch").alias("source"),
                     F.col("o_orderkey").cast("string").alias("id"),
